@@ -1,0 +1,192 @@
+"""Batched on-device CTC prefix beam search.
+
+Reference: ``src/myrtlespeech/post_process/ctc_beam_decoder.py ::
+CTCBeamDecoder`` — a pure-Python prefix beam search (Hannun 2014 / Graves
+2012) with per-prefix ``(p_blank, p_non_blank)``, beam width, probability
+pruning and optional word-count weighting.  The reference walks Python dicts
+per utterance; this implementation keeps the entire beam in fixed-size
+device arrays and runs the whole batch in one ``lax.scan`` over time:
+
+- Each beam entry is ``(prefix buffer (U,), length, p_b, p_nb)`` plus a
+  rolling **pair of 32-bit hashes** identifying the prefix.
+- Per frame, the ``W`` stay-candidates and ``W*V`` extension candidates are
+  formed dense, **sorted by hash**, duplicate prefixes merged with a
+  segmented log-sum-exp (associative scan), and the top ``W`` survivors
+  selected with ``top_k`` — the device-friendly replacement for the
+  reference's dict-keyed merging.
+- ``prune_threshold`` drops low-probability symbols before extension,
+  mirroring the reference's pruning knob.
+
+Everything is static-shaped and vmapped over the batch, so the decoder runs
+inside ``jit`` (and under ``pjit``/shard_map for sharded eval).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+_MUL1 = jnp.uint32(0x01000193)  # FNV-ish multipliers for the rolling hashes
+_MUL2 = jnp.uint32(0x00100001)
+
+
+def _seg_logsumexp(vals, seg_start):
+    """Segmented logsumexp along axis 0 for sorted segments.
+
+    ``seg_start[i]`` is True where a new segment begins.  Returns an array
+    where the LAST element of each segment holds the segment total (other
+    positions hold partial prefixes — callers mask them out).
+    """
+
+    def combine(a, b):
+        va, sa = a
+        vb, sb = b
+        v = jnp.where(sb, vb, jnp.logaddexp(va, vb))
+        return v, sa | sb
+
+    out, _ = jax.lax.associative_scan(combine, (vals, seg_start), axis=0)
+    return out
+
+
+def _beam_step(carry, logp_t, *, W: int, V: int, U: int, blank: int,
+               prune_log: float, word_beta: Optional[float],
+               separator: Optional[int]):
+    """One frame of prefix beam search for a single utterance."""
+    prefixes, lengths, words, h1, h2, p_b, p_nb, valid_t = carry
+    lp, is_valid = logp_t  # (V,), scalar bool
+
+    total = jnp.logaddexp(p_b, p_nb)  # (W,)
+    last = jnp.where(
+        lengths > 0,
+        jnp.take_along_axis(prefixes,
+                            jnp.maximum(lengths - 1, 0)[:, None],
+                            axis=1)[:, 0],
+        -1)  # (W,)
+
+    # ---- candidates -----------------------------------------------------
+    # Stay candidates (one per beam): blank keeps prefix; repeated last
+    # symbol also keeps prefix (collapses).
+    stay_pb = total + lp[blank]
+    stay_pnb = jnp.where(last >= 0, p_nb + lp[jnp.maximum(last, 0)], NEG_INF)
+
+    # Extension candidates (W x V): prefix + c for c != blank.
+    ext_base = jnp.where(last[:, None] == jnp.arange(V)[None, :],
+                         p_b[:, None], total[:, None])  # double-letter rule
+    ext_p = ext_base + lp[None, :]  # (W, V)
+    char_ok = (jnp.arange(V) != blank)[None, :]
+    pruned = lp[None, :] >= prune_log
+    ext_p = jnp.where(char_ok & pruned, ext_p, NEG_INF)
+    if word_beta is not None and separator is not None:
+        # Word-count bonus fires when a separator completes a word.
+        completes = (jnp.arange(V)[None, :] == separator) & \
+            (last[:, None] != separator) & (lengths[:, None] > 0)
+        ext_p = ext_p + jnp.where(completes, word_beta, 0.0)
+
+    # Flatten: N = W stay + W*V extensions.
+    N = W + W * V
+    parent = jnp.concatenate(
+        [jnp.arange(W), jnp.repeat(jnp.arange(W), V)])  # (N,)
+    ext_char = jnp.concatenate(
+        [jnp.full((W,), -1, jnp.int32),
+         jnp.tile(jnp.arange(V, dtype=jnp.int32), W)])
+    cand_pb = jnp.concatenate([stay_pb, jnp.full((W * V,), NEG_INF)])
+    cand_pnb = jnp.concatenate([stay_pnb, ext_p.reshape(-1)])
+
+    # Rolling hashes for candidate prefixes.
+    ph1, ph2 = h1[parent], h2[parent]
+    cu = (ext_char + 1).astype(jnp.uint32)
+    nh1 = jnp.where(ext_char >= 0, ph1 * _MUL1 + cu, ph1)
+    nh2 = jnp.where(ext_char >= 0, ph2 * _MUL2 + cu, ph2)
+
+    # Kill candidates from dead beams / overlong prefixes.
+    alive = total[parent] > NEG_INF / 2
+    too_long = (ext_char >= 0) & (lengths[parent] >= U)
+    dead = ~alive | too_long
+    cand_pb = jnp.where(dead, NEG_INF, cand_pb)
+    cand_pnb = jnp.where(dead, NEG_INF, cand_pnb)
+
+    # ---- merge duplicates (sort by hash + segmented logsumexp) ----------
+    order = jnp.argsort(nh1)
+    s1, s2 = nh1[order], nh2[order]
+    spb, spnb = cand_pb[order], cand_pnb[order]
+    sparent, schar = parent[order], ext_char[order]
+    prev_same = jnp.concatenate(
+        [jnp.array([False]),
+         (s1[1:] == s1[:-1]) & (s2[1:] == s2[:-1])])
+    seg_start = ~prev_same
+    mpb = _seg_logsumexp(spb, seg_start)
+    mpnb = _seg_logsumexp(spnb, seg_start)
+    is_seg_last = jnp.concatenate([~prev_same[1:], jnp.array([True])])
+    score = jnp.where(is_seg_last, jnp.logaddexp(mpb, mpnb), NEG_INF)
+
+    # ---- select top W ----------------------------------------------------
+    top_score, top_idx = jax.lax.top_k(score, W)
+    new_pb = mpb[top_idx]
+    new_pnb = mpnb[top_idx]
+    src = sparent[top_idx]
+    ch = schar[top_idx]
+    new_h1, new_h2 = s1[top_idx], s2[top_idx]
+
+    new_prefixes = prefixes[src]
+    new_lengths = lengths[src]
+    new_words = words[src]
+    ext = ch >= 0
+    pos = jnp.where(ext, new_lengths, U)  # drop for stays
+    new_prefixes = new_prefixes.at[jnp.arange(W), pos].set(
+        jnp.maximum(ch, 0), mode="drop")
+    new_lengths = new_lengths + ext.astype(jnp.int32)
+    if separator is not None:
+        new_words = new_words + (ext & (ch == separator)).astype(jnp.int32)
+
+    # Frames past the utterance end: keep previous beam unchanged.
+    keep = lambda n, o: jnp.where(is_valid, n, o)
+    carry = (keep(new_prefixes, prefixes), keep(new_lengths, lengths),
+             keep(new_words, words), keep(new_h1, h1), keep(new_h2, h2),
+             keep(new_pb, p_b), keep(new_pnb, p_nb), valid_t)
+    return carry, None
+
+
+def ctc_beam_decode(logits, logit_lens, *, blank_index: int = 0,
+                    beam_width: int = 16, prune_threshold: float = 1e-3,
+                    word_count_beta: Optional[float] = None,
+                    separator_index: Optional[int] = None,
+                    max_output_len: Optional[int] = None):
+    """Prefix-beam-search decode a batch of ``(B, T, V)`` logits.
+
+    Returns ``(tokens (B, U) int32, token_lens (B,) int32)`` for the best
+    prefix per utterance, where ``U = max_output_len or T``.
+    """
+    B, T, V = logits.shape
+    U = max_output_len or T
+    W = beam_width
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    prune_log = jnp.log(jnp.asarray(prune_threshold, jnp.float32)) \
+        if prune_threshold > 0 else jnp.asarray(NEG_INF)
+
+    step = functools.partial(
+        _beam_step, W=W, V=V, U=U, blank=blank_index,
+        prune_log=prune_log, word_beta=word_count_beta,
+        separator=separator_index)
+
+    def decode_one(lp_bt, n_valid):
+        # Initial beam: single empty prefix (p_b = 0), rest dead.
+        prefixes = jnp.zeros((W, U), jnp.int32)
+        lengths = jnp.zeros((W,), jnp.int32)
+        words = jnp.zeros((W,), jnp.int32)
+        h1 = jnp.zeros((W,), jnp.uint32)
+        h2 = jnp.zeros((W,), jnp.uint32)
+        p_b = jnp.full((W,), NEG_INF).at[0].set(0.0)
+        p_nb = jnp.full((W,), NEG_INF)
+        valid = jnp.arange(T) < n_valid
+        (prefixes, lengths, words, h1, h2, p_b, p_nb, _), _ = jax.lax.scan(
+            step, (prefixes, lengths, words, h1, h2, p_b, p_nb, None),
+            (lp_bt, valid))
+        score = jnp.logaddexp(p_b, p_nb)
+        best = jnp.argmax(score)
+        return prefixes[best], lengths[best]
+
+    return jax.vmap(decode_one)(logp, logit_lens)

@@ -1,0 +1,195 @@
+"""Batched on-device RNN-T beam search.
+
+Reference: ``src/myrtlespeech/post_process/rnn_t_beam_decoder.py ::
+RNNTBeamDecoder`` — Graves 2012 Algorithm 1 with Python dict bookkeeping per
+utterance.  This implementation keeps every hypothesis in fixed-size device
+arrays and runs under ``jit``:
+
+- Per encoder frame, hypotheses expand in up to ``max_symbols_per_step``
+  rounds.  In each round every live hypothesis either takes **blank**
+  (joining the frame's *finished* set) or **emits** a symbol (staying in
+  the *expanding* set, prediction net advanced).
+- Identical label sequences reached by different paths are merged with a
+  log-sum-exp keyed on a rolling pair of 32-bit prefix hashes — the
+  device-array replacement for Graves' dict merge (same device as the CTC
+  prefix beam, see ``ctc_beam.py``).
+- Both sets are truncated to the beam width with ``top_k`` every round, so
+  all shapes are static; the expansion loop is a ``lax.while_loop`` that
+  exits early once every hypothesis has taken blank.
+
+``length_norm`` divides final scores by sequence length (reference option).
+The decoder is model-agnostic via ``predict_step`` / ``joint_step``
+closures, vmapped over the batch (beam width plays the batch role inside).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+_MUL1 = jnp.uint32(0x01000193)
+_MUL2 = jnp.uint32(0x00100001)
+
+
+def _merge_topk(scores, h1, h2, W):
+    """Hash-merge duplicate hypotheses then select top W.
+
+    Returns (merged scores (N,), selector idx (W,)) — gather other buffers
+    with the selector.  Duplicates: all but one copy get NEG_INF after
+    their mass is merged into the kept copy.
+    """
+    order = jnp.argsort(h1)
+    s1, s2 = h1[order], h2[order]
+    sc = scores[order]
+    prev_same = jnp.concatenate(
+        [jnp.array([False]), (s1[1:] == s1[:-1]) & (s2[1:] == s2[:-1])])
+
+    def combine(a, b):
+        va, sa = a
+        vb, sb = b
+        return jnp.where(sb, vb, jnp.logaddexp(va, vb)), sa | sb
+
+    merged, _ = jax.lax.associative_scan(combine, (sc, ~prev_same), axis=0)
+    is_last = jnp.concatenate([~prev_same[1:], jnp.array([True])])
+    merged = jnp.where(is_last, merged, NEG_INF)
+    top_sc, top_pos = jax.lax.top_k(merged, W)
+    return top_sc, order[top_pos]
+
+
+def rnnt_beam_decode(
+    f,  # (B, T, H_enc)
+    f_lens,  # (B,)
+    predict_step: Callable,  # (tokens (N,), state) -> (g (N, H), state)
+    joint_step: Callable,  # (f_t (N, H_enc), g (N, H)) -> (N, V) logits
+    init_state_fn: Callable,  # (n: int) -> pred-state pytree with leading N
+    *,
+    blank_index: int,
+    beam_width: int = 8,
+    length_norm: bool = False,
+    max_symbols_per_step: int = 30,
+    max_output_len: int = 200,
+):
+    """Beam-search decode a batch. Returns ``(tokens (B, U), lens (B,))``."""
+    W = beam_width
+    B, T, H_enc = f.shape
+    U = max_output_len
+
+    def decode_one(f_bt, n_valid):
+        # Hypothesis buffers, leading dim W.
+        tokens = jnp.zeros((W, U), jnp.int32)
+        lens = jnp.zeros((W,), jnp.int32)
+        h1 = jnp.zeros((W,), jnp.uint32)
+        h2 = jnp.zeros((W,), jnp.uint32)
+        score = jnp.full((W,), NEG_INF).at[0].set(0.0)
+        state = init_state_fn(W)
+        g, state = predict_step(jnp.full((W,), -1, jnp.int32), state)
+
+        def frame(carry, inputs):
+            tokens, lens, h1, h2, score, g, state = carry
+            f_t, valid = inputs  # (H_enc,), bool
+            f_tw = jnp.broadcast_to(f_t[None, :], (W, H_enc))
+
+            # Finished set (hyps that took blank this frame).
+            fin = dict(tokens=tokens, lens=lens, h1=h1, h2=h2,
+                       score=jnp.full((W,), NEG_INF), g=g, state=state)
+            # Expanding set starts as the carried beam.
+            exp = dict(tokens=tokens, lens=lens, h1=h1, h2=h2, score=score,
+                       g=g, state=state)
+
+            def cond(loop):
+                r, fin, exp = loop
+                return (r < max_symbols_per_step) & \
+                    jnp.any(exp["score"] > NEG_INF / 2)
+
+            def body(loop):
+                r, fin, exp = loop
+                logits = joint_step(f_tw, exp["g"])  # (W, V)
+                logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+                V = logp.shape[-1]
+
+                # --- blank: expanding hyps join the finished pool -------
+                blank_sc = exp["score"] + logp[:, blank_index]
+                cand_sc = jnp.concatenate([fin["score"], blank_sc])
+                cand_h1 = jnp.concatenate([fin["h1"], exp["h1"]])
+                cand_h2 = jnp.concatenate([fin["h2"], exp["h2"]])
+                top_sc, sel = _merge_topk(cand_sc, cand_h1, cand_h2, W)
+                gath = lambda a, b: jnp.concatenate([a, b])[sel]
+                new_fin = dict(
+                    tokens=gath(fin["tokens"], exp["tokens"]),
+                    lens=gath(fin["lens"], exp["lens"]),
+                    h1=cand_h1[sel], h2=cand_h2[sel], score=top_sc,
+                    g=gath(fin["g"], exp["g"]),
+                    state=jax.tree_util.tree_map(
+                        lambda a, b: jnp.concatenate([a, b])[sel],
+                        fin["state"], exp["state"]))
+
+                # --- emit: W x V extensions stay expanding --------------
+                ext_sc = exp["score"][:, None] + logp  # (W, V)
+                char = jnp.arange(V)
+                ok = (char[None, :] != blank_index) & \
+                    (exp["lens"][:, None] < U)
+                ext_sc = jnp.where(ok, ext_sc, NEG_INF).reshape(-1)
+                parent = jnp.repeat(jnp.arange(W), V)
+                echar = jnp.tile(char, W).astype(jnp.int32)
+                cu = (echar + 1).astype(jnp.uint32)
+                eh1 = exp["h1"][parent] * _MUL1 + cu
+                eh2 = exp["h2"][parent] * _MUL2 + cu
+                e_sc, e_sel = _merge_topk(ext_sc, eh1, eh2, W)
+                p_sel = parent[e_sel]
+                c_sel = echar[e_sel]
+                e_tokens = exp["tokens"][p_sel]
+                e_lens = exp["lens"][p_sel]
+                pos = jnp.where(e_sc > NEG_INF / 2, e_lens, U)
+                e_tokens = e_tokens.at[jnp.arange(W), pos].set(
+                    jnp.maximum(c_sel, 0), mode="drop")
+                e_lens = e_lens + (e_sc > NEG_INF / 2).astype(jnp.int32)
+                # Advance prediction net for the emitted hypotheses.
+                par_state = jax.tree_util.tree_map(
+                    lambda a: a[p_sel], exp["state"])
+                e_g, e_state = predict_step(jnp.maximum(c_sel, 0), par_state)
+                new_exp = dict(tokens=e_tokens, lens=e_lens,
+                               h1=eh1[e_sel], h2=eh2[e_sel], score=e_sc,
+                               g=e_g, state=e_state)
+                return r + 1, new_fin, new_exp
+
+            _, fin, exp = jax.lax.while_loop(cond, body, (0, fin, exp))
+
+            # Hypotheses still expanding after the round cap take a forced
+            # blank (reference semantics: stop emitting, move to next t).
+            logits = joint_step(f_tw, exp["g"])
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            forced_sc = exp["score"] + logp[:, blank_index]
+            cand_sc = jnp.concatenate([fin["score"], forced_sc])
+            cand_h1 = jnp.concatenate([fin["h1"], exp["h1"]])
+            cand_h2 = jnp.concatenate([fin["h2"], exp["h2"]])
+            top_sc, sel = _merge_topk(cand_sc, cand_h1, cand_h2, W)
+            gath = lambda a, b: jnp.concatenate([a, b])[sel]
+            new = (gath(fin["tokens"], exp["tokens"]),
+                   gath(fin["lens"], exp["lens"]),
+                   cand_h1[sel], cand_h2[sel], top_sc,
+                   gath(fin["g"], exp["g"]),
+                   jax.tree_util.tree_map(
+                       lambda a, b: jnp.concatenate([a, b])[sel],
+                       fin["state"], exp["state"]))
+
+            # Frames past the utterance end leave the beam untouched.
+            out = jax.tree_util.tree_map(
+                lambda n, o: jnp.where(
+                    jnp.reshape(valid, (1,) * n.ndim), n, o), new, carry)
+            return out, None
+
+        valid = jnp.arange(T) < n_valid
+        (tokens, lens, h1, h2, score, g, state), _ = jax.lax.scan(
+            frame, (tokens, lens, h1, h2, score, g, state), (f_bt, valid))
+
+        final = jnp.where(length_norm,
+                          score / jnp.maximum(lens, 1).astype(score.dtype),
+                          score)
+        best = jnp.argmax(final)
+        return tokens[best], lens[best]
+
+    return jax.vmap(decode_one)(f, f_lens)

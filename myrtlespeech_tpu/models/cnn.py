@@ -1,0 +1,95 @@
+"""Length-masked convolutions over padded sequence batches.
+
+TPU-native counterpart of the reference's ``src/myrtlespeech/model/cnn.py ::
+MaskConv1d / MaskConv2d / out_lens`` — the module family that owns the
+sequence-length contract.  Activations past each example's length are zeroed
+after every conv, and output lengths follow standard conv arithmetic
+(:func:`myrtlespeech_tpu.ops.masking.conv_out_size`).
+
+Layout: features enter as ``(B, T, F)``; 2-D convs view them as an NHWC
+image ``(B, T, F, C)`` with time as the first spatial dim, which keeps the
+channel dim last (TPU-friendly) and lets XLA tile the conv onto the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from myrtlespeech_tpu.config.schema import Activation, Conv2dConfig, PaddingMode
+from myrtlespeech_tpu.models.activations import apply_activation
+from myrtlespeech_tpu.models.normalization import MaskedBatchNorm
+from myrtlespeech_tpu.ops import masking
+
+
+def _pad_amount(mode: PaddingMode, kernel: int) -> int:
+    return masking.same_padding(kernel) if mode is PaddingMode.SAME else 0
+
+
+class MaskedConv2d(nn.Module):
+    """One masked conv layer on ``(B, T, F, C)`` with BN + activation."""
+
+    cfg: Conv2dConfig
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, lengths, train: bool):
+        c = self.cfg
+        pad_t = _pad_amount(c.padding, c.kernel_time)
+        pad_f = _pad_amount(c.padding, c.kernel_feature)
+        # Zero padded frames so they cannot leak into valid outputs.
+        x = masking.mask_sequence(x, lengths, time_axis=1)
+        y = nn.Conv(
+            features=c.out_channels,
+            kernel_size=(c.kernel_time, c.kernel_feature),
+            strides=(c.stride_time, c.stride_feature),
+            padding=((pad_t, pad_t), (pad_f, pad_f)),
+            use_bias=c.bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x.astype(self.dtype))
+        out_lens = masking.conv_out_size(
+            lengths, c.kernel_time, c.stride_time, pad_t)
+        if c.batch_norm:
+            B, T, F, C = y.shape
+            y = MaskedBatchNorm(dtype=self.dtype)(
+                y.reshape(B, T, F * C), out_lens,
+                use_running_average=not train).reshape(B, T, F, C)
+        y = apply_activation(c.activation, y)
+        y = masking.mask_sequence(y, out_lens, time_axis=1)
+        return y, out_lens
+
+
+class ConvBlock(nn.Module):
+    """Stack of masked 2-D convs (the DS2 frontend).
+
+    ``(B, T, F) -> (B, T', F' * C)`` flattened for the RNN stack, plus
+    updated lengths.
+    """
+
+    layers: Tuple[Conv2dConfig, ...]
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, lengths, train: bool):
+        y = x[..., None]  # (B, T, F, 1)
+        for cfg in self.layers:
+            y, lengths = MaskedConv2d(cfg, dtype=self.dtype)(
+                y, lengths, train)
+        B, T, F, C = y.shape
+        return y.reshape(B, T, F * C), lengths
+
+
+def conv_block_out_features(layers: Tuple[Conv2dConfig, ...],
+                            in_features: int) -> int:
+    """Static feature-dim formula for :class:`ConvBlock` output."""
+    f = in_features
+    c = 1
+    for cfg in layers:
+        pad_f = _pad_amount(cfg.padding, cfg.kernel_feature)
+        f = masking.conv_out_size(f, cfg.kernel_feature, cfg.stride_feature,
+                                  pad_f)
+        c = cfg.out_channels
+    return f * c

@@ -1,0 +1,104 @@
+"""Multi-layer (bi)directional RNN module over the scan ops.
+
+TPU-native counterpart of the reference's cuDNN wrapper
+(``src/myrtlespeech/model/rnn.py :: RNN``): consumes/produces padded
+``(B, T, F)`` batches with lengths, supports LSTM/GRU/vanilla cells,
+``forget_gate_bias`` initialisation, bidirectionality (length-aware reverse,
+concat), optional masked BatchNorm between stacked layers (DS2 style), and
+hidden-state pass-through for streaming decoders.
+
+Compute runs time-major internally; parameters are fp32, matmuls in the
+configured compute dtype (bf16 by default — the apex-amp replacement).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from myrtlespeech_tpu.config.schema import RNNConfig, RNNType
+from myrtlespeech_tpu.models.normalization import MaskedBatchNorm
+from myrtlespeech_tpu.ops import rnn as rnn_ops
+
+
+def _gate_count(t: RNNType) -> int:
+    return {RNNType.LSTM: 4, RNNType.GRU: 3, RNNType.BASIC_RNN: 1}[t]
+
+
+class RNN(nn.Module):
+    """Stacked RNN: ``(B, T, F), lengths -> (B, T, H * dirs), lengths``."""
+
+    cfg: RNNConfig
+    dtype: jnp.dtype = jnp.bfloat16
+
+    def _bias_init(self, key, shape, dtype=jnp.float32):
+        b = jnp.zeros(shape, dtype)
+        c = self.cfg
+        if c.rnn_type is RNNType.LSTM and c.forget_gate_bias is not None:
+            H = shape[0] // 4
+            b = b.at[H:2 * H].set(c.forget_gate_bias)
+        return b
+
+    @nn.compact
+    def __call__(self, x, lengths, train: bool = False,
+                 initial_states=None):
+        """Run the stack.
+
+        ``initial_states``: optional list (per layer) of per-direction
+        states for streaming decode; zeros if None.
+
+        Returns ``(outputs (B, T, H*dirs), lengths, final_states)`` where
+        ``final_states`` mirrors the ``initial_states`` structure.
+        """
+        c = self.cfg
+        H = c.hidden_size
+        G = _gate_count(c.rnn_type)
+        dirs = 2 if c.bidirectional else 1
+        y = jnp.swapaxes(x, 0, 1)  # (T, B, F)
+        final_states = []
+
+        for layer in range(c.num_layers):
+            F_in = y.shape[-1]
+            outs = []
+            layer_states = []
+            for d in range(dirs):
+                name = f"l{layer}_{'bwd' if d else 'fwd'}"
+                w_ih = self.param(f"{name}_w_ih",
+                                  nn.initializers.xavier_uniform(),
+                                  (F_in, G * H), jnp.float32)
+                w_hh = self.param(f"{name}_w_hh",
+                                  nn.initializers.orthogonal(),
+                                  (H, G * H), jnp.float32)
+                b = self.param(f"{name}_b", self._bias_init, (G * H,)) \
+                    if c.bias else None
+                init = None if initial_states is None \
+                    else initial_states[layer][d]
+                if c.rnn_type is RNNType.LSTM:
+                    out, st = rnn_ops.lstm_scan(
+                        y, lengths, w_ih, w_hh, b, h0c0=init,
+                        reverse=bool(d), compute_dtype=self.dtype)
+                elif c.rnn_type is RNNType.GRU:
+                    out, st = rnn_ops.gru_scan(
+                        y, lengths, w_ih, w_hh, b, None, h0=init,
+                        reverse=bool(d), compute_dtype=self.dtype)
+                else:
+                    out, st = rnn_ops.rnn_scan(
+                        y, lengths, w_ih, w_hh, b, h0=init,
+                        reverse=bool(d), compute_dtype=self.dtype)
+                outs.append(out)
+                layer_states.append(st)
+            final_states.append(layer_states)
+            y = outs[0] if dirs == 1 else jnp.concatenate(outs, axis=-1)
+
+            is_last = layer == c.num_layers - 1
+            if c.batch_norm and not is_last:
+                yb = jnp.swapaxes(y, 0, 1)  # (B, T, H*dirs)
+                yb = MaskedBatchNorm(dtype=self.dtype)(
+                    yb, lengths, use_running_average=not train)
+                y = jnp.swapaxes(yb, 0, 1)
+            if c.dropout > 0 and not is_last:
+                y = nn.Dropout(rate=c.dropout, deterministic=not train)(y)
+
+        return jnp.swapaxes(y, 0, 1), lengths, final_states

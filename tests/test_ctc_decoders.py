@@ -1,0 +1,112 @@
+"""CTC decoder tests with brute-force oracles.
+
+Mirrors the reference's decoder test strategy (SURVEY.md §4): enumerate all
+alignments for tiny (T, V) and compare decoder output against the exact
+posterior argmax; plus edge cases (all-blank, empty, repeats).
+"""
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from myrtlespeech_tpu.decoding.ctc_beam import ctc_beam_decode
+from myrtlespeech_tpu.decoding.ctc_greedy import ctc_greedy_decode
+from myrtlespeech_tpu.decoding.wer import cer, edit_distance, wer
+
+
+def collapse(path, blank):
+    out, prev = [], None
+    for p in path:
+        if p != prev and p != blank:
+            out.append(p)
+        prev = p
+    return tuple(out)
+
+
+def brute_force_best_labeling(logp, blank):
+    """Exact posterior argmax over labelings by enumerating all alignments."""
+    T, V = logp.shape
+    scores = {}
+    for path in itertools.product(range(V), repeat=T):
+        lab = collapse(path, blank)
+        p = sum(logp[t, path[t]] for t in range(T))
+        scores[lab] = np.logaddexp(scores.get(lab, -np.inf), p)
+    return max(scores.items(), key=lambda kv: kv[1])[0]
+
+
+def test_greedy_simple():
+    # argmax path: [1, 1, blank, 2, 2, blank, 1] -> [1, 2, 1]
+    V = 3
+    path = [1, 1, 0, 2, 2, 0, 1]
+    logits = np.full((1, len(path), V), -5.0, np.float32)
+    for t, p in enumerate(path):
+        logits[0, t, p] = 5.0
+    toks, lens = ctc_greedy_decode(jnp.asarray(logits),
+                                   jnp.asarray([len(path)]))
+    assert int(lens[0]) == 3
+    np.testing.assert_array_equal(np.asarray(toks)[0, :3], [1, 2, 1])
+
+
+def test_greedy_respects_lengths():
+    V = 3
+    logits = np.full((2, 4, V), -5.0, np.float32)
+    logits[:, :, 1] = 5.0  # all frames argmax to symbol 1
+    toks, lens = ctc_greedy_decode(jnp.asarray(logits), jnp.asarray([4, 2]))
+    # repeats collapse -> single symbol regardless of length
+    np.testing.assert_array_equal(np.asarray(lens), [1, 1])
+
+
+def test_greedy_all_blank():
+    logits = np.full((1, 5, 3), -5.0, np.float32)
+    logits[0, :, 0] = 5.0
+    toks, lens = ctc_greedy_decode(jnp.asarray(logits), jnp.asarray([5]))
+    assert int(lens[0]) == 0
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_beam_matches_brute_force(seed):
+    """Wide beam on tiny problems must find the exact MAP labeling."""
+    rng = np.random.default_rng(seed)
+    T, V = 4, 3
+    logits = rng.standard_normal((1, T, V)).astype(np.float32) * 2.0
+    logp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits[0]), axis=-1))
+    expected = brute_force_best_labeling(logp, blank=0)
+    toks, lens = ctc_beam_decode(jnp.asarray(logits), jnp.asarray([T]),
+                                 beam_width=32, prune_threshold=0.0)
+    got = tuple(np.asarray(toks)[0, :int(lens[0])])
+    assert got == expected, f"beam {got} != brute force {expected}"
+
+
+def test_beam_beats_or_ties_greedy():
+    """Beam search posterior should never be worse than greedy's labeling."""
+    rng = np.random.default_rng(42)
+    T, V = 6, 4
+    logits = rng.standard_normal((4, T, V)).astype(np.float32)
+    lens = np.array([6, 5, 4, 6], np.int32)
+    b_toks, b_lens = ctc_beam_decode(jnp.asarray(logits), jnp.asarray(lens),
+                                     beam_width=16, prune_threshold=0.0)
+    for b in range(4):
+        logp = np.asarray(jax.nn.log_softmax(
+            jnp.asarray(logits[b, :lens[b]]), axis=-1))
+        expected = brute_force_best_labeling(logp, blank=0)
+        got = tuple(np.asarray(b_toks)[b, :int(b_lens[b])])
+        assert got == expected
+
+
+def test_beam_prune_still_works():
+    rng = np.random.default_rng(7)
+    logits = rng.standard_normal((1, 5, 4)).astype(np.float32) * 3.0
+    toks, lens = ctc_beam_decode(jnp.asarray(logits), jnp.asarray([5]),
+                                 beam_width=8, prune_threshold=1e-3)
+    assert int(lens[0]) <= 5
+
+
+def test_edit_distance_and_rates():
+    assert edit_distance("kitten", "sitting") == 3
+    assert edit_distance([], [1, 2]) == 2
+    assert wer(["a b c"], ["a b c"]) == 0.0
+    assert wer(["a b c d"], ["a b x d"]) == 0.25
+    assert cer(["abc"], ["axc"]) == pytest.approx(1 / 3)

@@ -1,0 +1,118 @@
+"""RNN scan ops cross-checked against torch.nn.LSTM/GRU (CPU oracle).
+
+The reference wraps cuDNN LSTM/GRU with packed sequences; our masked-scan
+implementation must match both outputs and final states (packed semantics:
+final state taken at t = len - 1 per example).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from myrtlespeech_tpu.ops import rnn as rnn_ops
+
+
+def _np(x):
+    return np.asarray(x)
+
+
+def _torch_lstm_oracle(x, lens, w_ih, w_hh, b):
+    """Run torch LSTM with packed sequences; x time-major (T, B, F)."""
+    T, B, F = x.shape
+    H = w_hh.shape[0]
+    m = torch.nn.LSTM(F, H, bias=b is not None)
+    with torch.no_grad():
+        m.weight_ih_l0.copy_(torch.tensor(w_ih.T))
+        m.weight_hh_l0.copy_(torch.tensor(w_hh.T))
+        if b is not None:
+            m.bias_ih_l0.copy_(torch.tensor(b))
+            m.bias_hh_l0.zero_()
+    packed = torch.nn.utils.rnn.pack_padded_sequence(
+        torch.tensor(x), torch.tensor(lens), enforce_sorted=False)
+    out, (h, c) = m(packed)
+    out, _ = torch.nn.utils.rnn.pad_packed_sequence(out, total_length=T)
+    return out.detach().numpy(), h[0].detach().numpy(), c[0].detach().numpy()
+
+
+def test_lstm_matches_torch_packed():
+    rng = np.random.default_rng(0)
+    T, B, F, H = 7, 3, 5, 4
+    x = rng.standard_normal((T, B, F)).astype(np.float32)
+    lens = np.array([7, 4, 1], np.int64)
+    w_ih = rng.standard_normal((F, 4 * H)).astype(np.float32) * 0.3
+    w_hh = rng.standard_normal((H, 4 * H)).astype(np.float32) * 0.3
+    b = rng.standard_normal((4 * H,)).astype(np.float32) * 0.1
+
+    ys, final = rnn_ops.lstm_scan(
+        jnp.asarray(x), jnp.asarray(lens.astype(np.int32)),
+        jnp.asarray(w_ih), jnp.asarray(w_hh), jnp.asarray(b),
+        compute_dtype=jnp.float32)
+    ref_out, ref_h, ref_c = _torch_lstm_oracle(x, lens, w_ih, w_hh, b)
+
+    np.testing.assert_allclose(_np(ys), ref_out, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(_np(final.h), ref_h, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(_np(final.c), ref_c, rtol=1e-4, atol=1e-5)
+
+
+def test_lstm_reverse_equals_torch_on_flipped():
+    """Backward direction == forward on length-reversed sequences."""
+    rng = np.random.default_rng(1)
+    T, B, F, H = 6, 2, 3, 4
+    x = rng.standard_normal((T, B, F)).astype(np.float32)
+    lens = np.array([6, 3], np.int32)
+    w_ih = rng.standard_normal((F, 4 * H)).astype(np.float32) * 0.3
+    w_hh = rng.standard_normal((H, 4 * H)).astype(np.float32) * 0.3
+
+    ys_rev, final_rev = rnn_ops.lstm_scan(
+        jnp.asarray(x), jnp.asarray(lens), jnp.asarray(w_ih),
+        jnp.asarray(w_hh), None, reverse=True, compute_dtype=jnp.float32)
+
+    x_flipped = np.asarray(rnn_ops.reverse_sequences(
+        jnp.asarray(x), jnp.asarray(lens)))
+    ys_fwd, final_fwd = rnn_ops.lstm_scan(
+        jnp.asarray(x_flipped), jnp.asarray(lens), jnp.asarray(w_ih),
+        jnp.asarray(w_hh), None, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(
+        _np(ys_rev),
+        np.asarray(rnn_ops.reverse_sequences(ys_fwd, jnp.asarray(lens))),
+        rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(_np(final_rev.h), _np(final_fwd.h), rtol=1e-4)
+
+
+def test_gru_matches_torch():
+    rng = np.random.default_rng(2)
+    T, B, F, H = 5, 2, 4, 3
+    x = rng.standard_normal((T, B, F)).astype(np.float32)
+    lens = np.array([5, 2], np.int64)
+    w_ih = rng.standard_normal((F, 3 * H)).astype(np.float32) * 0.3
+    w_hh = rng.standard_normal((H, 3 * H)).astype(np.float32) * 0.3
+    b_ih = rng.standard_normal((3 * H,)).astype(np.float32) * 0.1
+    b_hh = rng.standard_normal((3 * H,)).astype(np.float32) * 0.1
+
+    m = torch.nn.GRU(F, H)
+    with torch.no_grad():
+        m.weight_ih_l0.copy_(torch.tensor(w_ih.T))
+        m.weight_hh_l0.copy_(torch.tensor(w_hh.T))
+        m.bias_ih_l0.copy_(torch.tensor(b_ih))
+        m.bias_hh_l0.copy_(torch.tensor(b_hh))
+    packed = torch.nn.utils.rnn.pack_padded_sequence(
+        torch.tensor(x), torch.tensor(lens), enforce_sorted=False)
+    out, h = m(packed)
+    out, _ = torch.nn.utils.rnn.pad_packed_sequence(out, total_length=T)
+
+    ys, final = rnn_ops.gru_scan(
+        jnp.asarray(x), jnp.asarray(lens.astype(np.int32)),
+        jnp.asarray(w_ih), jnp.asarray(w_hh), jnp.asarray(b_ih),
+        jnp.asarray(b_hh), compute_dtype=jnp.float32)
+    np.testing.assert_allclose(_np(ys), out.detach().numpy(), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(_np(final), h[0].detach().numpy(), rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_reverse_sequences():
+    x = jnp.asarray(np.arange(4 * 2, dtype=np.float32).reshape(4, 2, 1))
+    lens = jnp.asarray(np.array([4, 2], np.int32))
+    out = np.asarray(rnn_ops.reverse_sequences(x, lens))[:, :, 0]
+    np.testing.assert_array_equal(out[:, 0], [6, 4, 2, 0])
+    np.testing.assert_array_equal(out[:, 1], [3, 1, 5, 7])

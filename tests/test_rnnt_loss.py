@@ -1,0 +1,101 @@
+"""Transducer loss cross-check against a brute-force numpy DP oracle.
+
+The reference uses warp-transducer (C++/CUDA); with no binding available
+here the oracle is a direct O(T*U) dynamic program in float64, which *is*
+the definition of the loss (Graves 2012 eq. 18-20).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from myrtlespeech_tpu.ops.rnnt import rnnt_loss
+
+
+def np_rnnt_nll(logits, T, labels, U, blank):
+    """Single-example negative log-likelihood via float64 DP."""
+    lp = logits.astype(np.float64)
+    lp = lp - np.log(np.sum(np.exp(lp - lp.max(-1, keepdims=True)),
+                            axis=-1, keepdims=True)) - lp.max(-1, keepdims=True)
+    alpha = np.full((T, U + 1), -np.inf)
+    alpha[0, 0] = 0.0
+    for t in range(T):
+        for u in range(U + 1):
+            if t == 0 and u == 0:
+                continue
+            cands = []
+            if t > 0:
+                cands.append(alpha[t - 1, u] + lp[t - 1, u, blank])
+            if u > 0:
+                cands.append(alpha[t, u - 1] + lp[t, u - 1, labels[u - 1]])
+            alpha[t, u] = np.logaddexp.reduce(cands) if cands else -np.inf
+    return -(alpha[T - 1, U] + lp[T - 1, U, blank])
+
+
+def _rand_case(rng, B=3, T=6, U=4, V=5):
+    logits = rng.standard_normal((B, T, U + 1, V)).astype(np.float32)
+    logit_lens = rng.integers(2, T + 1, size=B).astype(np.int32)
+    labels = rng.integers(1, V, size=(B, U)).astype(np.int32)
+    label_lens = rng.integers(0, U + 1, size=B).astype(np.int32)
+    return logits, logit_lens, labels, label_lens
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_matches_oracle(seed):
+    rng = np.random.default_rng(seed)
+    logits, logit_lens, labels, label_lens = _rand_case(rng)
+    ours = np.asarray(rnnt_loss(
+        jnp.asarray(logits), jnp.asarray(logit_lens), jnp.asarray(labels),
+        jnp.asarray(label_lens), blank_index=0, reduction="none"))
+    for b in range(logits.shape[0]):
+        ref = np_rnnt_nll(logits[b], int(logit_lens[b]), labels[b],
+                          int(label_lens[b]), blank=0)
+        np.testing.assert_allclose(ours[b], ref, rtol=1e-4, atol=1e-4)
+
+
+def test_nonzero_blank():
+    rng = np.random.default_rng(3)
+    B, T, U, V = 2, 5, 3, 6
+    logits = rng.standard_normal((B, T, U + 1, V)).astype(np.float32)
+    logit_lens = np.array([5, 4], np.int32)
+    labels = rng.integers(0, V - 1, size=(B, U)).astype(np.int32)
+    label_lens = np.array([3, 1], np.int32)
+    blank = V - 1
+    ours = np.asarray(rnnt_loss(
+        jnp.asarray(logits), jnp.asarray(logit_lens), jnp.asarray(labels),
+        jnp.asarray(label_lens), blank_index=blank, reduction="none"))
+    for b in range(B):
+        ref = np_rnnt_nll(logits[b], int(logit_lens[b]), labels[b],
+                          int(label_lens[b]), blank=blank)
+        np.testing.assert_allclose(ours[b], ref, rtol=1e-4, atol=1e-4)
+
+
+def test_gradient_is_finite_and_correct_fd():
+    """Finite-difference check of a few gradient entries."""
+    rng = np.random.default_rng(4)
+    logits, logit_lens, labels, label_lens = _rand_case(rng, B=2, T=4, U=2,
+                                                        V=4)
+    args = (jnp.asarray(logit_lens), jnp.asarray(labels),
+            jnp.asarray(label_lens))
+    f = lambda x: rnnt_loss(x, *args, reduction="sum")
+    g = np.asarray(jax.grad(f)(jnp.asarray(logits)))
+    assert np.all(np.isfinite(g))
+    eps = 1e-3
+    for idx in [(0, 0, 0, 1), (1, 2, 1, 3), (0, 3, 2, 0)]:
+        x1 = logits.copy(); x1[idx] += eps
+        x2 = logits.copy(); x2[idx] -= eps
+        fd = (float(f(jnp.asarray(x1))) - float(f(jnp.asarray(x2)))) / (2 * eps)
+        np.testing.assert_allclose(g[idx], fd, rtol=2e-2, atol=1e-3)
+
+
+def test_reductions():
+    rng = np.random.default_rng(5)
+    logits, logit_lens, labels, label_lens = _rand_case(rng)
+    args = (jnp.asarray(logits), jnp.asarray(logit_lens), jnp.asarray(labels),
+            jnp.asarray(label_lens))
+    none = np.asarray(rnnt_loss(*args, reduction="none"))
+    assert np.allclose(float(rnnt_loss(*args, reduction="sum")), none.sum(),
+                       rtol=1e-5)
+    assert np.allclose(float(rnnt_loss(*args, reduction="mean")), none.mean(),
+                       rtol=1e-5)
