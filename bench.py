@@ -1,0 +1,81 @@
+"""Benchmark harness: audio-seconds/sec/chip on the flagship RNN-T.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The north-star metric (BASELINE.json) is audio-seconds processed per
+wall-clock second per chip for the train step (preprocess + forward +
+transducer loss + backward + update, all jitted).  The reference publishes
+no numbers (BASELINE.json "published" == {}), so ``vs_baseline`` reports
+against a conservative single-V100 PyTorch anchor estimate for the same
+MLPerf RNN-T topology (~80 audio-s/s) until a measured reference exists.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_AUDIO_SEC_PER_SEC = 80.0  # estimated V100 reference anchor
+
+
+def main() -> None:
+    import jax
+
+    from __graft_entry__ import _example_batch, _tiny_rnnt_task
+    from myrtlespeech_tpu.builders.build import build_task
+    from myrtlespeech_tpu.config import schema as S
+    from myrtlespeech_tpu.run.train import init_state, make_train_step
+
+    # Bench model: MLPerf-ish RNN-T sized to fit the single sandbox chip.
+    cfg_mod = __import__("configs.rnn_t_en", fromlist=["task_config"])
+    cfg = cfg_mod.task_config
+    # Swap LibriSpeech for generated audio (no dataset on disk) and shrink
+    # stack to chip memory while keeping layer structure.
+    cfg = S.replace(
+        cfg,
+        train_dataset=S.FakeSpeechToTextConfig(
+            dataset_len=64, audio_ms=S.IntRange(4000, 5000),
+            label_symbols="abc defgh", label_len=S.IntRange(30, 60)),
+        eval_dataset=None,
+        train_config=S.replace(cfg.train_config, batch_size=8),
+    )
+    task = build_task(cfg, steps_per_epoch=100)
+
+    B = cfg.train_config.batch_size
+    seconds_per_utt = 5.0
+    samples = int(16000 * seconds_per_utt)
+    batch = _example_batch(B, samples=samples, label_len=64)
+    batch["labels"] = np.clip(batch["labels"], 1, 27)
+
+    state = init_state(task, jax.random.PRNGKey(0), batch)
+    step = make_train_step(task)
+
+    # Warmup/compile.  NB: force a host transfer, not just
+    # block_until_ready — on the experimental remote platform the latter
+    # has been observed to return before execution completes.
+    state, m = step(state, batch)
+    _ = float(m["loss"])
+
+    n_steps = 10
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, m = step(state, batch)
+    final_loss = float(m["loss"])  # host fetch fences the whole chain
+    dt = time.perf_counter() - t0
+    assert np.isfinite(final_loss)
+
+    audio_sec = n_steps * B * seconds_per_utt
+    value = audio_sec / dt
+    print(json.dumps({
+        "metric": "train_audio_sec_per_sec_per_chip",
+        "value": round(value, 2),
+        "unit": "audio-s/s/chip",
+        "vs_baseline": round(value / BASELINE_AUDIO_SEC_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,382 @@
+"""Builders: TaskConfig -> runnable objects.
+
+TPU-native counterpart of the reference's ``src/myrtlespeech/builders/``
+package (one ``build`` per proto message).  The same validate-and-recurse
+pattern applies, but the product is functional: flax modules, pure
+preprocess/loss/decode callables, an optax optimizer — everything the
+jitted train/eval steps close over.
+
+Blank-index convention (mirrors reference semantics): the model's output
+vocabulary is ``max(len(alphabet), blank_index + 1)``.  If ``blank_index ==
+len(alphabet)`` the blank gets a dedicated extra row; if it is inside the
+alphabet range, the config's alphabet contains a placeholder symbol at that
+position (how the reference's example configs do it).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from myrtlespeech_tpu.config import schema as S
+from myrtlespeech_tpu.data.alphabet import Alphabet
+from myrtlespeech_tpu.data.dataset.fake import FakeSpeechToText
+from myrtlespeech_tpu.data.dataset.librispeech import LibriSpeech
+from myrtlespeech_tpu.decoding.ctc_beam import ctc_beam_decode
+from myrtlespeech_tpu.decoding.ctc_greedy import ctc_greedy_decode
+from myrtlespeech_tpu.decoding.rnnt_beam import rnnt_beam_decode
+from myrtlespeech_tpu.decoding.rnnt_greedy import rnnt_greedy_decode
+from myrtlespeech_tpu.models.deep_speech_1 import DeepSpeech1
+from myrtlespeech_tpu.models.deep_speech_2 import DeepSpeech2
+from myrtlespeech_tpu.models.encoder_decoder import EncoderDecoder
+from myrtlespeech_tpu.models.rnn_t import RNNT
+from myrtlespeech_tpu.ops import features as F
+from myrtlespeech_tpu.ops.ctc import ctc_loss
+from myrtlespeech_tpu.ops.rnn import LSTMState
+from myrtlespeech_tpu.ops.rnnt import rnnt_loss
+from myrtlespeech_tpu.ops.specaugment import spec_augment
+
+
+# ---------------------------------------------------------------------------
+# Alphabet / vocab
+# ---------------------------------------------------------------------------
+
+
+def build_alphabet(cfg: S.SpeechToTextConfig) -> Alphabet:
+    return Alphabet(cfg.alphabet)
+
+
+def _loss_blank_index(cfg: S.SpeechToTextConfig) -> int:
+    return cfg.loss.blank_index
+
+
+def vocab_size(cfg: S.SpeechToTextConfig) -> int:
+    return max(len(cfg.alphabet), _loss_blank_index(cfg) + 1)
+
+
+# ---------------------------------------------------------------------------
+# Pre-processing
+# ---------------------------------------------------------------------------
+
+
+def build_preprocess(steps: Tuple[S.PreProcessStepConfig, ...]):
+    """Build ``fn(rng, wav, wav_lens, train) -> (feats, frame_lens)``.
+
+    The whole chain runs on device inside jit.  If no feature step is
+    configured the raw waveform is framed as 1-dim features (degenerate but
+    valid, mirrors reference behaviour of requiring an MFCC step in real
+    configs).
+    """
+
+    def apply(rng, wav, wav_lens, train: bool):
+        x, lens = wav, wav_lens
+        is_features = False
+        for step_cfg in steps:
+            if step_cfg.stage is S.StageSelector.TRAIN and not train:
+                continue
+            if step_cfg.stage is S.StageSelector.EVAL and train:
+                continue
+            st = step_cfg.step
+            if isinstance(st, S.MFCCConfig):
+                n_fft = st.n_fft or _next_pow2(
+                    int(st.win_length_ms * st.sample_rate / 1000))
+                win = int(st.win_length_ms * st.sample_rate / 1000)
+                hop = int(st.hop_length_ms * st.sample_rate / 1000)
+                if st.log_mel_only:
+                    x, lens = F.log_mel_spectrogram(
+                        x, lens, sample_rate=st.sample_rate, n_fft=n_fft,
+                        win_length=win, hop_length=hop, n_mels=st.n_mels)
+                else:
+                    x, lens = F.mfcc(
+                        x, lens, sample_rate=st.sample_rate, n_fft=n_fft,
+                        win_length=win, hop_length=hop, n_mels=st.n_mels,
+                        n_mfcc=st.n_mfcc)
+                is_features = True
+            elif isinstance(st, S.StandardizeConfig):
+                x = F.standardize(x, lens, eps=st.eps)
+            elif isinstance(st, S.ContextFramesConfig):
+                x = F.add_context_frames(x, st.n_context)
+            elif isinstance(st, S.SpecAugmentConfig):
+                rng, key = jax.random.split(rng)
+                x = spec_augment(
+                    key, x, lens, feature_mask=st.feature_mask,
+                    time_mask=st.time_mask,
+                    n_feature_masks=st.n_feature_masks,
+                    n_time_masks=st.n_time_masks,
+                    time_mask_ratio=st.time_mask_ratio)
+            else:
+                raise ValueError(f"unknown preprocess step {st}")
+        if not is_features:
+            x = x[..., None]  # (B, S, 1) raw-sample "features"
+        return x, lens
+
+    return apply
+
+
+def _next_pow2(n: int) -> int:
+    p = 1
+    while p < n:
+        p *= 2
+    return p
+
+
+def preprocess_out_features(steps: Tuple[S.PreProcessStepConfig, ...]) -> int:
+    """Static feature dim produced by :func:`build_preprocess`."""
+    f = 1
+    for step_cfg in steps:
+        st = step_cfg.step
+        if isinstance(st, S.MFCCConfig):
+            f = st.n_mels if st.log_mel_only else st.n_mfcc
+        elif isinstance(st, S.ContextFramesConfig):
+            f = f * (2 * st.n_context + 1)
+    return f
+
+
+# ---------------------------------------------------------------------------
+# Models
+# ---------------------------------------------------------------------------
+
+
+def build_model(cfg: S.SpeechToTextConfig, dtype=jnp.bfloat16):
+    V = vocab_size(cfg)
+    m = cfg.model
+    if isinstance(m, S.DeepSpeech1Config):
+        return DeepSpeech1(m, out_features=V, dtype=dtype)
+    if isinstance(m, S.DeepSpeech2Config):
+        return DeepSpeech2(m, out_features=V, dtype=dtype)
+    if isinstance(m, S.EncoderDecoderConfig):
+        return EncoderDecoder(m, out_features=V, dtype=dtype)
+    if isinstance(m, S.RNNTConfig):
+        return RNNT(m, vocab_size=V, dtype=dtype)
+    raise ValueError(f"unknown model config {type(m)}")
+
+
+def is_transducer(cfg: S.SpeechToTextConfig) -> bool:
+    return isinstance(cfg.model, S.RNNTConfig)
+
+
+# ---------------------------------------------------------------------------
+# Losses
+# ---------------------------------------------------------------------------
+
+
+def build_loss(cfg: S.SpeechToTextConfig) -> Callable:
+    lc = cfg.loss
+    red = lc.reduction.value
+    if isinstance(lc, S.CTCLossConfig):
+        return functools.partial(ctc_loss, blank_index=lc.blank_index,
+                                 reduction=red)
+    if isinstance(lc, S.RNNTLossConfig):
+        return functools.partial(rnnt_loss, blank_index=lc.blank_index,
+                                 reduction=red)
+    raise ValueError(f"unknown loss config {type(lc)}")
+
+
+def validate(cfg: S.SpeechToTextConfig) -> None:
+    """Cross-field checks the reference's builders enforce."""
+    transducer_model = is_transducer(cfg)
+    transducer_loss = isinstance(cfg.loss, S.RNNTLossConfig)
+    if transducer_model != transducer_loss:
+        raise ValueError("RNNT model requires rnn_t_loss and vice versa")
+    transducer_decoder = isinstance(
+        cfg.post_process,
+        (S.RNNTGreedyDecoderConfig, S.RNNTBeamDecoderConfig))
+    if transducer_model != transducer_decoder:
+        raise ValueError("model family and decoder family must match")
+    if cfg.post_process.blank_index != cfg.loss.blank_index:
+        raise ValueError("decoder and loss blank_index must agree")
+
+
+# ---------------------------------------------------------------------------
+# Decoders
+# ---------------------------------------------------------------------------
+
+
+def build_rnnt_decode_helpers(model: RNNT, cfg: S.RNNTConfig):
+    """Closures (predict_step, joint_step, init_state_fn) over model.apply."""
+
+    def init_state_fn(n: int):
+        c = cfg.prediction.rnn
+        return [
+            [LSTMState(h=jnp.zeros((n, c.hidden_size), jnp.float32),
+                       c=jnp.zeros((n, c.hidden_size), jnp.float32))]
+            for _ in range(c.num_layers)
+        ]
+
+    def make(variables):
+        def predict_step(token, state):
+            return model.apply(variables, token, state,
+                               method=RNNT.predict_step)
+
+        def joint_step(f_t, g):
+            return model.apply(variables, f_t, g, method=RNNT.joint)
+
+        return predict_step, joint_step
+
+    return make, init_state_fn
+
+
+def build_decoder(cfg: S.SpeechToTextConfig, model) -> Callable:
+    """Build ``decode(variables, batch_feats...) -> (tokens, lens)``.
+
+    For CTC decoders the callable takes ``(logits, logit_lens)``.
+    For transducer decoders it takes ``(variables, f, f_lens)`` (encoder
+    output) since it must drive the prediction/joint nets.
+    """
+    pc = cfg.post_process
+    if isinstance(pc, S.CTCGreedyDecoderConfig):
+        return functools.partial(ctc_greedy_decode,
+                                 blank_index=pc.blank_index)
+    if isinstance(pc, S.CTCBeamDecoderConfig):
+        return functools.partial(
+            ctc_beam_decode, blank_index=pc.blank_index,
+            beam_width=pc.beam_width, prune_threshold=pc.prune_threshold,
+            word_count_beta=pc.word_count_beta,
+            separator_index=pc.separator_index)
+    make, init_state_fn = build_rnnt_decode_helpers(model, cfg.model)
+    if isinstance(pc, S.RNNTGreedyDecoderConfig):
+        def greedy(variables, f, f_lens, max_output_len: int = 200):
+            predict_step, joint_step = make(variables)
+            B = f.shape[0]
+            return rnnt_greedy_decode(
+                f, f_lens, predict_step, joint_step, init_state_fn(B),
+                blank_index=pc.blank_index,
+                max_symbols_per_step=pc.max_symbols_per_step,
+                max_output_len=max_output_len)
+        return greedy
+    if isinstance(pc, S.RNNTBeamDecoderConfig):
+        def beam(variables, f, f_lens, max_output_len: int = 200):
+            predict_step, joint_step = make(variables)
+            return rnnt_beam_decode(
+                f, f_lens, predict_step, joint_step, init_state_fn,
+                blank_index=pc.blank_index, beam_width=pc.beam_width,
+                length_norm=pc.length_norm,
+                max_symbols_per_step=pc.max_symbols_per_step,
+                max_output_len=max_output_len)
+        return beam
+    raise ValueError(f"unknown decoder config {type(pc)}")
+
+
+# ---------------------------------------------------------------------------
+# Optimizer / schedule
+# ---------------------------------------------------------------------------
+
+
+def build_lr_schedule(cfg: S.TrainConfig, steps_per_epoch: int):
+    sc = cfg.lr_scheduler
+    base = _base_lr(cfg.optimizer)
+    if isinstance(sc, S.ConstantLRConfig):
+        sched = optax.constant_schedule(base)
+    elif isinstance(sc, S.StepLRConfig):
+        sched = optax.exponential_decay(
+            base, transition_steps=sc.step_size_epochs * steps_per_epoch,
+            decay_rate=sc.gamma, staircase=True)
+    elif isinstance(sc, S.ExponentialLRConfig):
+        sched = optax.exponential_decay(
+            base, transition_steps=steps_per_epoch, decay_rate=sc.gamma,
+            staircase=True)
+    elif isinstance(sc, S.CosineAnnealingLRConfig):
+        sched = optax.cosine_decay_schedule(
+            base, decay_steps=max(sc.t_max_epochs * steps_per_epoch, 1),
+            alpha=sc.eta_min / base if base else 0.0)
+    else:
+        raise ValueError(f"unknown lr scheduler {type(sc)}")
+    if cfg.lr_warmup_steps > 0:
+        warm = optax.linear_schedule(0.0, base, cfg.lr_warmup_steps)
+        sched_inner = sched
+        warmup_steps = cfg.lr_warmup_steps
+
+        def sched(step):  # noqa: F811 - composed schedule
+            return jnp.where(step < warmup_steps, warm(step),
+                             sched_inner(step - warmup_steps))
+    return sched
+
+
+def _base_lr(oc: S.OptimizerConfig) -> float:
+    return oc.learning_rate
+
+
+def build_optimizer(cfg: S.TrainConfig, steps_per_epoch: int):
+    sched = build_lr_schedule(cfg, steps_per_epoch)
+    oc = cfg.optimizer
+    if isinstance(oc, S.SGDConfig):
+        tx = optax.sgd(sched, momentum=oc.momentum, nesterov=oc.nesterov)
+        wd = oc.l2_weight_decay
+    elif isinstance(oc, S.AdamConfig):
+        tx = optax.adam(sched, b1=oc.beta_1, b2=oc.beta_2, eps=oc.eps)
+        wd = oc.l2_weight_decay
+    else:
+        raise ValueError(f"unknown optimizer {type(oc)}")
+    chain = []
+    if cfg.grad_clip_norm is not None:
+        chain.append(optax.clip_by_global_norm(cfg.grad_clip_norm))
+    if wd:
+        chain.append(optax.add_decayed_weights(wd))
+    chain.append(tx)
+    return optax.chain(*chain) if len(chain) > 1 else tx, sched
+
+
+# ---------------------------------------------------------------------------
+# Datasets
+# ---------------------------------------------------------------------------
+
+
+def build_dataset(cfg: S.DatasetConfig):
+    if isinstance(cfg, S.FakeSpeechToTextConfig):
+        return FakeSpeechToText(cfg)
+    if isinstance(cfg, S.LibriSpeechConfig):
+        return LibriSpeech(cfg)
+    raise ValueError(f"unknown dataset config {type(cfg)}")
+
+
+# ---------------------------------------------------------------------------
+# Task bundle
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class Task:
+    """Everything built from one TaskConfig (reference: builders/task_config
+    returning the SeqToSeq bundle + datasets)."""
+
+    cfg: S.TaskConfig
+    alphabet: Alphabet
+    model: Any
+    preprocess: Callable
+    loss_fn: Callable
+    decoder: Callable
+    optimizer: Any
+    lr_schedule: Callable
+    train_dataset: Any
+    eval_dataset: Optional[Any]
+
+    @property
+    def transducer(self) -> bool:
+        return is_transducer(self.cfg.speech_to_text)
+
+
+def build_task(cfg: S.TaskConfig, steps_per_epoch: int = 1000,
+               dtype=None) -> Task:
+    stt = cfg.speech_to_text
+    validate(stt)
+    dtype = dtype or jnp.dtype(cfg.train_config.compute_dtype)
+    model = build_model(stt, dtype=dtype)
+    tx, sched = build_optimizer(cfg.train_config, steps_per_epoch)
+    return Task(
+        cfg=cfg,
+        alphabet=build_alphabet(stt),
+        model=model,
+        preprocess=build_preprocess(stt.pre_process_steps),
+        loss_fn=build_loss(stt),
+        decoder=build_decoder(stt, model),
+        optimizer=tx,
+        lr_schedule=sched,
+        train_dataset=build_dataset(cfg.train_dataset),
+        eval_dataset=(build_dataset(cfg.eval_dataset)
+                      if cfg.eval_dataset is not None else None),
+    )

@@ -1,0 +1,140 @@
+"""Batching: padding collate + duration bucketing for static shapes.
+
+Reference: ``src/myrtlespeech/data/batch.py :: seq_to_seq_collate_fn`` pads
+each batch to its own max length — fine for eager PyTorch, fatal for XLA
+(every new max shape recompiles).  The TPU-native design buckets batch
+shapes to a small static set:
+
+- audio lengths round up to the next member of a geometric bucket ladder;
+- label lengths round up to a multiple of ``label_bucket``;
+- so the number of distinct compiled ``train_step`` signatures is bounded
+  by ``len(audio_buckets) * ceil(max_label / label_bucket)`` (SURVEY.md §7
+  hard part 3: recompilation control).
+
+The loader groups samples of similar duration into batches (minimising
+padding waste) and yields numpy dicts ready for ``jax.device_put``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from myrtlespeech_tpu.data.alphabet import Alphabet
+
+
+def geometric_buckets(min_len: int, max_len: int, growth: float = 1.26
+                      ) -> Tuple[int, ...]:
+    """Bucket ladder ``min_len * growth^k`` rounded to 128-sample multiples."""
+    out = []
+    x = float(min_len)
+    while x < max_len:
+        out.append(int(math.ceil(x / 128) * 128))
+        x *= growth
+    out.append(int(math.ceil(max_len / 128) * 128))
+    return tuple(sorted(set(out)))
+
+
+def bucket_for(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"length {n} exceeds largest bucket {buckets[-1]}")
+
+
+def collate(samples: List[Tuple[np.ndarray, str]], alphabet: Alphabet,
+            audio_pad_to: int, label_pad_to: int) -> Dict[str, np.ndarray]:
+    """Pad a list of ``(waveform, transcript)`` into a dense batch dict."""
+    B = len(samples)
+    wav = np.zeros((B, audio_pad_to), np.float32)
+    wav_lens = np.zeros((B,), np.int32)
+    labels = np.zeros((B, label_pad_to), np.int32)
+    label_lens = np.zeros((B,), np.int32)
+    texts = []
+    for i, (w, t) in enumerate(samples):
+        wav[i, :len(w)] = w
+        wav_lens[i] = len(w)
+        idx = alphabet.get_indices(t)
+        labels[i, :len(idx)] = idx
+        label_lens[i] = len(idx)
+        texts.append(t)
+    return {"wav": wav, "wav_lens": wav_lens, "labels": labels,
+            "label_lens": label_lens, "texts": texts}
+
+
+class BucketedLoader:
+    """Duration-bucketed batch iterator over a map-style dataset.
+
+    Groups indices by audio bucket, shuffles within buckets each epoch, and
+    emits fixed-shape batches.  ``drop_remainder`` keeps batch size static
+    (required under jit/pjit); set ``pad_last`` to instead repeat the last
+    sample (eval convenience — use the returned ``n_real`` to mask).
+    """
+
+    def __init__(self, dataset, alphabet: Alphabet, batch_size: int, *,
+                 audio_buckets: Optional[Sequence[int]] = None,
+                 label_bucket: int = 32, shuffle: bool = True, seed: int = 0,
+                 drop_remainder: bool = False):
+        self.ds = dataset
+        self.alphabet = alphabet
+        self.batch_size = batch_size
+        self.label_bucket = label_bucket
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_remainder = drop_remainder
+
+        durations = [self._duration(i) for i in range(len(dataset))]
+        if audio_buckets is None:
+            mx = max(durations) if durations else 16000
+            mn = max(min(durations) if durations else 1600, 1600)
+            audio_buckets = geometric_buckets(mn, max(mx, mn + 1))
+        self.audio_buckets = tuple(audio_buckets)
+        self._by_bucket: Dict[int, List[int]] = {}
+        for i, d in enumerate(durations):
+            b = bucket_for(d, self.audio_buckets)
+            self._by_bucket.setdefault(b, []).append(i)
+        self._epoch = 0
+
+    def _duration(self, i: int) -> int:
+        if hasattr(self.ds, "duration_samples"):
+            d = self.ds.duration_samples(i)
+            if d > 0:
+                return d
+        return len(self.ds[i][0])
+
+    def __len__(self) -> int:
+        n = 0
+        for idxs in self._by_bucket.values():
+            if self.drop_remainder:
+                n += len(idxs) // self.batch_size
+            else:
+                n += math.ceil(len(idxs) / self.batch_size)
+        return n
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.default_rng((self.seed, self._epoch))
+        self._epoch += 1
+        plan = []  # (bucket, [indices])
+        for b, idxs in sorted(self._by_bucket.items()):
+            idxs = list(idxs)
+            if self.shuffle:
+                rng.shuffle(idxs)
+            for k in range(0, len(idxs), self.batch_size):
+                chunk = idxs[k:k + self.batch_size]
+                if len(chunk) < self.batch_size:
+                    if self.drop_remainder:
+                        continue
+                    chunk = chunk + [chunk[-1]] * (self.batch_size - len(chunk))
+                plan.append((b, chunk, min(len(idxs) - k, self.batch_size)))
+        if self.shuffle:
+            rng.shuffle(plan)
+        for bucket, chunk, n_real in plan:
+            samples = [self.ds[i] for i in chunk]
+            label_max = max(1, max(len(t) for _, t in samples))
+            label_pad = math.ceil(label_max / self.label_bucket) \
+                * self.label_bucket
+            batch = collate(samples, self.alphabet, bucket, label_pad)
+            batch["n_real"] = np.asarray(n_real, np.int32)
+            yield batch

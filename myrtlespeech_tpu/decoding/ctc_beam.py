@@ -121,7 +121,12 @@ def _beam_step(carry, logp_t, *, W: int, V: int, U: int, blank: int,
     mpb = _seg_logsumexp(spb, seg_start)
     mpnb = _seg_logsumexp(spnb, seg_start)
     is_seg_last = jnp.concatenate([~prev_same[1:], jnp.array([True])])
-    score = jnp.where(is_seg_last, jnp.logaddexp(mpb, mpnb), NEG_INF)
+    # Kill non-final positions entirely: they hold partial segment sums, and
+    # if top_k ever picks one (spare beam slots) it must act as a dead beam,
+    # not a phantom duplicate of the prefix carrying real mass.
+    mpb = jnp.where(is_seg_last, mpb, NEG_INF)
+    mpnb = jnp.where(is_seg_last, mpnb, NEG_INF)
+    score = jnp.logaddexp(mpb, mpnb)
 
     # ---- select top W ----------------------------------------------------
     top_score, top_idx = jax.lax.top_k(score, W)

@@ -27,11 +27,24 @@ def _gate_count(t: RNNType) -> int:
     return {RNNType.LSTM: 4, RNNType.GRU: 3, RNNType.BASIC_RNN: 1}[t]
 
 
+def _use_pallas_lstm(cfg: RNNConfig, dtype, B: int) -> bool:
+    """Auto-select the fused Pallas kernel on TPU when shapes allow."""
+    import jax
+
+    from myrtlespeech_tpu.ops.pallas.lstm_kernel import pallas_lstm_supported
+
+    return (cfg.rnn_type is RNNType.LSTM
+            and dtype == jnp.bfloat16
+            and jax.default_backend() == "tpu"
+            and pallas_lstm_supported(B, cfg.hidden_size))
+
+
 class RNN(nn.Module):
     """Stacked RNN: ``(B, T, F), lengths -> (B, T, H * dirs), lengths``."""
 
     cfg: RNNConfig
     dtype: jnp.dtype = jnp.bfloat16
+    use_pallas: bool = True  # auto-gated by _use_pallas_lstm at call time
 
     def _bias_init(self, key, shape, dtype=jnp.float32):
         b = jnp.zeros(shape, dtype)
@@ -76,7 +89,13 @@ class RNN(nn.Module):
                 init = None if initial_states is None \
                     else initial_states[layer][d]
                 if c.rnn_type is RNNType.LSTM:
-                    out, st = rnn_ops.lstm_scan(
+                    if self.use_pallas and _use_pallas_lstm(
+                            c, self.dtype, y.shape[1]):
+                        from myrtlespeech_tpu.ops.pallas.lstm_kernel import \
+                            lstm_scan_pallas as _scan
+                    else:
+                        _scan = rnn_ops.lstm_scan
+                    out, st = _scan(
                         y, lengths, w_ih, w_hh, b, h0c0=init,
                         reverse=bool(d), compute_dtype=self.dtype)
                 elif c.rnn_type is RNNType.GRU:

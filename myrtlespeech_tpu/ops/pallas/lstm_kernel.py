@@ -1,0 +1,232 @@
+"""Fused LSTM recurrence as a Pallas TPU kernel.
+
+Replaces the ``lax.scan`` inner loop of ``ops/rnn.py::lstm_scan`` (the
+cuDNN-LSTM equivalent, SURVEY.md §2.10 N3).  Design:
+
+- The whole time loop is ONE ``pallas_call`` with ``grid=(T,)``.  TPU grid
+  iterations run sequentially on a core, so the hidden/cell state lives in
+  VMEM scratch across steps — no per-step HBM round-trips and no XLA loop
+  overhead.
+- ``w_hh`` (bf16) stays resident in VMEM for the entire sequence; the
+  per-step ``h @ w_hh`` hits the MXU; gate nonlinearities fuse on the VPU.
+- Input projections (``x @ w_ih``) are computed *outside* the kernel as one
+  large matmul (see ops/rnn.py) — the kernel consumes ``x_proj`` blocks
+  ``(1, B, 4H)`` streamed by the Pallas pipeline (auto double-buffered).
+- fp32 cell state; bf16 outputs.
+
+The backward pass is classic BPTT as a ``lax.scan`` over saved ``(ys, cs)``
+residuals with gate recomputation; all weight gradients collapse into two
+big matmuls after the scan (same hoisting trick as forward).  The
+``custom_vjp`` boundary sits *after* the input projection, so ``w_ih``/input
+gradients flow through plain autodiff.
+
+Constraints: best when B is a multiple of 8 and H a multiple of 128
+(fp32/bf16 tile shapes); callers fall back to the lax path otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _lstm_kernel(x_proj_ref, valid_ref, w_hh_ref, b_ref, h0_ref, c0_ref,
+                 ys_ref, cs_ref, hT_ref, cT_ref, h_scr, c_scr):
+    t = pl.program_id(0)
+    T = pl.num_programs(0)
+    H = h_scr.shape[-1]
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = h0_ref[:]
+        c_scr[:] = c0_ref[:]
+
+    h = h_scr[:]
+    c = c_scr[:]
+    gates = x_proj_ref[0] + jnp.dot(
+        h.astype(jnp.bfloat16), w_hh_ref[:],
+        preferred_element_type=jnp.float32) + b_ref[:]
+    i = jax.nn.sigmoid(gates[:, :H])
+    f = jax.nn.sigmoid(gates[:, H:2 * H])
+    g = jnp.tanh(gates[:, 2 * H:3 * H])
+    o = jax.nn.sigmoid(gates[:, 3 * H:])
+    c_new = f * c + i * g
+    h_new = o * jnp.tanh(c_new)
+
+    v = valid_ref[0].astype(jnp.float32)[:, None]  # (B, 1)
+    h_out = v * h_new + (1.0 - v) * h
+    c_out = v * c_new + (1.0 - v) * c
+    h_scr[:] = h_out
+    c_scr[:] = c_out
+    ys_ref[0] = (v * h_new).astype(ys_ref.dtype)
+    cs_ref[0] = c_out
+
+    @pl.when(t == T - 1)
+    def _():
+        hT_ref[:] = h_out
+        cT_ref[:] = c_out
+
+
+def _lstm_pallas_fwd_call(x_proj, valid, w_hh, b, h0, c0):
+    """Run the forward kernel.  x_proj: (T, B, 4H) fp32; returns
+    (ys bf16 (T,B,H), cs fp32 (T,B,H), hT, cT)."""
+    T, B, H4 = x_proj.shape
+    H = H4 // 4
+    grid = (T,)
+    out = pl.pallas_call(
+        _lstm_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, B, H4), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B), lambda t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H4), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((H4,), lambda t: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, H), jnp.bfloat16),
+            jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+        ],
+    )(x_proj, valid, w_hh.astype(jnp.bfloat16), b, h0, c0)
+    return out
+
+
+@jax.custom_vjp
+def lstm_core(x_proj, valid, w_hh, b, h0, c0):
+    """Fused LSTM recurrence.
+
+    Args: x_proj (T,B,4H) fp32 (input projection + no bias), valid (T,B)
+    float32 1/0 mask, w_hh (H,4H) fp32, b (4H,) fp32, h0/c0 (B,H) fp32.
+    Returns (ys bf16 (T,B,H), hT fp32, cT fp32).
+    """
+    ys, _cs, hT, cT = _lstm_pallas_fwd_call(x_proj, valid, w_hh, b, h0, c0)
+    return ys, hT, cT
+
+
+def _fwd(x_proj, valid, w_hh, b, h0, c0):
+    ys, cs, hT, cT = _lstm_pallas_fwd_call(x_proj, valid, w_hh, b, h0, c0)
+    return (ys, hT, cT), (x_proj, valid, w_hh, b, h0, c0, ys, cs)
+
+
+def _bwd(res, grads):
+    x_proj, valid, w_hh, b, h0, c0, ys, cs = res
+    dys, dhT, dcT = grads
+    T, B, H = ys.shape
+
+    # h_{t-1}, c_{t-1} sequences (fp32).  ys rows are masked h_new; the true
+    # carried h equals the last valid h — rebuild by forward-filling is
+    # unnecessary: for valid steps h_{t-1} = carried state at t-1 which
+    # equals ys[t-1] when step t-1 was valid, else earlier.  Because valid
+    # masks are contiguous prefixes (lengths), h_{t-1} = ys[t-1] for all
+    # t <= len, and gradients at t > len are zeroed by `valid` anyway.
+    h_prev = jnp.concatenate([h0[None], ys[:-1].astype(jnp.float32)], 0)
+    c_prev = jnp.concatenate([c0[None], cs[:-1]], 0)
+
+    w_hh_t = w_hh.astype(jnp.bfloat16).T  # (4H, H)
+
+    def step(carry, inp):
+        dh, dc = carry
+        x_t, v_t, hp, cp, c_t, dy_t = inp
+        v = v_t[:, None]
+        # Recompute gates.
+        gates = x_t + jnp.dot(hp.astype(jnp.bfloat16),
+                              w_hh.astype(jnp.bfloat16),
+                              preferred_element_type=jnp.float32) + b
+        i = jax.nn.sigmoid(gates[:, :H])
+        f = jax.nn.sigmoid(gates[:, H:2 * H])
+        g = jnp.tanh(gates[:, 2 * H:3 * H])
+        o = jax.nn.sigmoid(gates[:, 3 * H:])
+        tc = jnp.tanh(c_t)
+
+        dh_total = dy_t.astype(jnp.float32) + dh
+        do = dh_total * tc
+        dc_total = dc + dh_total * o * (1.0 - tc * tc)
+        di = dc_total * g
+        dg = dc_total * i
+        df = dc_total * cp
+        dz = jnp.concatenate([
+            di * i * (1.0 - i), df * f * (1.0 - f),
+            dg * (1.0 - g * g), do * o * (1.0 - o)], axis=1)
+        dz = dz * v  # padded steps contribute nothing
+        dh_prev = jnp.dot(dz.astype(jnp.bfloat16), w_hh_t,
+                          preferred_element_type=jnp.float32)
+        # Frozen (invalid) steps pass gradients straight through.
+        dh_prev = dh_prev + (1.0 - v) * dh
+        dc_prev = dc_total * f * v + (1.0 - v) * dc
+        return (dh_prev, dc_prev), dz
+
+    (dh0, dc0), dz_all = jax.lax.scan(
+        step, (dhT, dcT),
+        (x_proj, valid, h_prev, c_prev, cs, dys), reverse=True)
+
+    # Weight/bias grads as single large matmuls (hoisted like the forward).
+    dw_hh = jnp.dot(
+        h_prev.reshape(T * B, H).T.astype(jnp.bfloat16),
+        dz_all.reshape(T * B, 4 * H).astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32)
+    db = jnp.sum(dz_all, axis=(0, 1))
+    return dz_all, None, dw_hh, db, dh0, dc0
+
+
+lstm_core.defvjp(_fwd, _bwd)
+
+
+def pallas_lstm_supported(B: int, H: int) -> bool:
+    """Tile-shape constraints for the fused kernel."""
+    return B % 8 == 0 and H % 128 == 0
+
+
+def lstm_scan_pallas(x, lengths, w_ih, w_hh, b, h0c0=None,
+                     reverse: bool = False, compute_dtype=jnp.bfloat16):
+    """Drop-in replacement for ``ops.rnn.lstm_scan`` using the fused kernel.
+
+    Same signature/semantics; see ops/rnn.py.
+    """
+    from myrtlespeech_tpu.ops.rnn import LSTMState, reverse_sequences
+
+    T, B, F = x.shape
+    H = w_hh.shape[0]
+    if h0c0 is None:
+        h0c0 = LSTMState(h=jnp.zeros((B, H), jnp.float32),
+                         c=jnp.zeros((B, H), jnp.float32))
+    if reverse:
+        x = reverse_sequences(x, lengths)
+
+    x_proj = jnp.dot(x.reshape(T * B, F).astype(compute_dtype),
+                     w_ih.astype(compute_dtype),
+                     preferred_element_type=jnp.float32).reshape(T, B, 4 * H)
+    valid = (jnp.arange(T)[:, None] < lengths[None, :]).astype(jnp.float32)
+    bias = b if b is not None else jnp.zeros((4 * H,), jnp.float32)
+
+    ys, hT, cT = lstm_core(x_proj, valid, w_hh.astype(jnp.float32),
+                           bias.astype(jnp.float32), h0c0.h, h0c0.c)
+    if reverse:
+        ys = reverse_sequences(ys, lengths)
+    return ys.astype(compute_dtype), LSTMState(h=hT, c=cT)

@@ -1,0 +1,152 @@
+"""Parameter partitioning rules and sharded train/eval steps.
+
+Strategy (SURVEY.md §5 "distributed communication backend"):
+
+- **DP**: batch over the ``data`` mesh axis; GSPMD turns the gradient sum
+  into a ``psum`` over ICI/DCN.
+- **TP**: the big matmul weights shard their *output* dim over ``model``:
+  RNN gate matrices ``w_ih/w_hh (F, G*H)`` and Dense kernels ``(F, O)``
+  split columns; matching biases split too.  Activations stay replicated
+  along ``model`` (Megatron-style column parallel; XLA inserts the
+  all-gather/ reduce-scatter pattern it deems optimal).
+- Small params (BN scales, conv kernels, lookahead weights) replicate.
+
+The rules are name/shape-based over the flax param pytree, so any model in
+the framework (DS1/DS2/encoder-decoder/RNN-T) shards without per-model
+code.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from myrtlespeech_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+# Param-name patterns whose LAST dim shards over the model axis.
+_COL_SHARDED = re.compile(
+    r"(w_ih|w_hh|kernel|embedding)$")
+# 1-D params that pair with column-sharded matrices (gate biases).
+_BIAS_SHARDED = re.compile(r"(_b)$")
+
+
+def _pspec_for(path: str, x) -> P:
+    if x.ndim == 0:
+        return P()
+    last = path.rsplit("/", 1)[-1]
+    if x.ndim >= 2 and _COL_SHARDED.search(last):
+        # Shard the output (last) dim if it's comfortably divisible.
+        return P(*([None] * (x.ndim - 1) + [MODEL_AXIS]))
+    if x.ndim == 1 and _BIAS_SHARDED.search(last):
+        return P(MODEL_AXIS)
+    return P()
+
+
+def _flatten_paths(tree, prefix=""):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten_paths(v, f"{prefix}/{k}" if prefix else k))
+    else:
+        out[prefix] = tree
+    return out
+
+
+def param_pspecs(params, model_size: int = 1):
+    """PartitionSpec pytree for a flax param tree.
+
+    Falls back to replication for dims not divisible by ``model_size``.
+    """
+
+    def assign(path, x):
+        spec = _pspec_for(path, x)
+        # Divisibility check: replicate anything that doesn't tile evenly.
+        for dim, axis in enumerate(spec):
+            if axis == MODEL_AXIS and x.shape[dim] % model_size != 0:
+                return P()
+        return spec
+
+    flat = _flatten_paths(params)
+    specs = {p: assign(p, x) for p, x in flat.items()}
+
+    def rebuild(tree, prefix=""):
+        if isinstance(tree, dict):
+            return {k: rebuild(v, f"{prefix}/{k}" if prefix else k)
+                    for k, v in tree.items()}
+        return specs[prefix]
+
+    return rebuild(params)
+
+
+def state_shardings(mesh: Mesh, state) -> Any:
+    """NamedSharding pytree for a full TrainState.
+
+    Params/opt_state use the TP rules; step/rng replicate; batch_stats
+    replicate (they are reduced over the batch anyway).
+    """
+    model_size = mesh.shape[MODEL_AXIS]
+    pspecs = param_pspecs(state.params, model_size)
+
+    def to_sharding(spec):
+        return NamedSharding(mesh, spec)
+
+    param_sh = jax.tree_util.tree_map(to_sharding, pspecs)
+
+    def like_params(tree):
+        """opt_state leaves that mirror param shapes get param shardings."""
+        flat_params = jax.tree_util.tree_leaves(state.params)
+        flat_sh = jax.tree_util.tree_leaves(param_sh)
+
+        def pick(x):
+            for p, s in zip(flat_params, flat_sh):
+                if hasattr(x, "shape") and x.shape == p.shape:
+                    return s
+            return NamedSharding(mesh, P())
+
+        return jax.tree_util.tree_map(pick, tree)
+
+    return type(state)(
+        params=param_sh,
+        batch_stats=jax.tree_util.tree_map(
+            lambda x: NamedSharding(mesh, P()), state.batch_stats),
+        opt_state=like_params(state.opt_state),
+        step=NamedSharding(mesh, P()),
+        rng=NamedSharding(mesh, P()),
+    )
+
+
+def batch_shardings(mesh: Mesh, batch) -> Any:
+    """Shard every batch array's leading dim over ``data``."""
+    return jax.tree_util.tree_map(
+        lambda x: NamedSharding(
+            mesh, P(DATA_AXIS) if getattr(x, "ndim", 0) >= 1 else P()),
+        batch)
+
+
+def make_sharded_train_step(task, mesh: Mesh, state, example_batch):
+    """jit the train step with explicit in/out shardings over ``mesh``.
+
+    Returns ``(train_step, placed_state, place_batch)`` where
+    ``place_batch`` device_puts host batches with data-parallel sharding.
+    """
+    from myrtlespeech_tpu.run.train import make_train_step
+
+    from myrtlespeech_tpu.run.train import train_step_body
+
+    st_sh = state_shardings(mesh, state)
+    b_sh = batch_shardings(mesh, example_batch)
+    body = train_step_body(task)
+    train_step = jax.jit(body, donate_argnums=(0,),
+                         in_shardings=(st_sh, b_sh),
+                         out_shardings=(st_sh, None))
+
+    placed_state = jax.device_put(state, st_sh)
+
+    def place_batch(batch):
+        return jax.device_put(batch, batch_shardings(mesh, batch))
+
+    return train_step, placed_state, place_batch

@@ -1,0 +1,257 @@
+"""Callback system for the training loop.
+
+Reference: ``src/myrtlespeech/run/callbacks/callback.py :: Callback,
+CallbackHandler`` (fastai-style hooks).  The same hook surface is kept so
+reference-style training scripts translate 1:1, with one structural change:
+everything between ``on_loss_begin`` and ``on_step_end`` happens *inside*
+the jitted train step on device, so those hooks observe (and may not
+mutate) the already-computed metrics pytree.  Host-side control decisions
+(early stop, logging cadence, checkpointing) live in the hooks that wrap
+the step.
+"""
+
+from __future__ import annotations
+
+import csv
+import enum
+import os
+import time
+from typing import Any, Dict, List, Optional
+
+
+class Stage(enum.Enum):
+    """Reference ``run/stage.py :: Stage``."""
+
+    TRAIN = "train"
+    EVAL = "eval"
+
+
+class Callback:
+    """Base callback; subclasses override any subset of hooks.
+
+    ``training_state`` is a mutable dict threaded through all callbacks
+    (reference's CallbackHandler state dict): step, epoch, stage, metrics,
+    stop flags...
+    """
+
+    def on_train_begin(self, ts: Dict[str, Any]) -> None: ...
+    def on_train_end(self, ts: Dict[str, Any]) -> None: ...
+    def on_epoch_begin(self, ts: Dict[str, Any]) -> None: ...
+    def on_epoch_end(self, ts: Dict[str, Any]) -> None: ...
+    def on_stage_begin(self, ts: Dict[str, Any]) -> None: ...
+    def on_stage_end(self, ts: Dict[str, Any]) -> None: ...
+    def on_batch_begin(self, ts: Dict[str, Any]) -> None: ...
+    def on_batch_end(self, ts: Dict[str, Any]) -> None: ...
+
+
+class CallbackHandler:
+    """Dispatches hooks; owns the shared training-state dict."""
+
+    def __init__(self, callbacks: List[Callback]):
+        self.callbacks = list(callbacks)
+        self.state: Dict[str, Any] = {
+            "step": 0, "epoch": 0, "stage": Stage.TRAIN,
+            "stop_training": False, "stop_epoch": False, "metrics": {},
+        }
+
+    def _fire(self, hook: str) -> None:
+        for cb in self.callbacks:
+            getattr(cb, hook)(self.state)
+
+    def on_train_begin(self): self._fire("on_train_begin")
+    def on_train_end(self): self._fire("on_train_end")
+
+    def on_epoch_begin(self, epoch: int):
+        self.state["epoch"] = epoch
+        self.state["stop_epoch"] = False
+        self._fire("on_epoch_begin")
+
+    def on_epoch_end(self): self._fire("on_epoch_end")
+
+    def on_stage_begin(self, stage: Stage):
+        self.state["stage"] = stage
+        self.state["batch_index"] = 0
+        self._fire("on_stage_begin")
+
+    def on_stage_end(self): self._fire("on_stage_end")
+
+    def on_batch_begin(self, batch) -> None:
+        self.state["batch"] = batch
+        self._fire("on_batch_begin")
+
+    def on_batch_end(self, metrics: Dict[str, Any]) -> None:
+        self.state["metrics"] = metrics
+        if self.state["stage"] is Stage.TRAIN:
+            self.state["step"] += 1
+        self.state["batch_index"] = self.state.get("batch_index", 0) + 1
+        self._fire("on_batch_end")
+
+
+class ReportMeanBatchLoss(Callback):
+    """Reference ``callbacks/report_mean_batch_loss.py``: running mean loss
+    per stage, reported at stage end into ``ts['reports']``."""
+
+    def on_stage_begin(self, ts):
+        self._sum, self._n = 0.0, 0
+
+    def on_batch_end(self, ts):
+        loss = ts["metrics"].get("loss")
+        if loss is not None:
+            self._sum += float(loss)
+            self._n += 1
+
+    def on_stage_end(self, ts):
+        mean = self._sum / max(self._n, 1)
+        ts.setdefault("reports", {})[
+            f"{ts['stage'].value}_mean_loss"] = mean
+
+
+class ReportDecoderWER(Callback):
+    """Reference ``callbacks/report_ctc_decoder.py`` (and the transducer
+    analogue): accumulate decoded transcripts during EVAL, report WER/CER.
+
+    The actual decoding happens inside the jitted eval step; this callback
+    consumes the resulting ``(tokens, token_lens)`` device arrays from the
+    metrics dict, detokenizes against the alphabet, and scores.
+    """
+
+    def __init__(self, alphabet, log_transcripts: int = 0):
+        self.alphabet = alphabet
+        self.log_transcripts = log_transcripts
+
+    def on_stage_begin(self, ts):
+        if ts["stage"] is Stage.EVAL:
+            self.refs: List[str] = []
+            self.hyps: List[str] = []
+
+    def on_batch_end(self, ts):
+        if ts["stage"] is not Stage.EVAL:
+            return
+        m = ts["metrics"]
+        if "decoded_tokens" not in m:
+            return
+        import numpy as np
+        toks = np.asarray(m["decoded_tokens"])
+        lens = np.asarray(m["decoded_lens"])
+        texts = ts["batch"].get("texts", [])
+        n_real = int(ts["batch"].get("n_real", len(texts)))
+        for i in range(min(n_real, len(texts))):
+            hyp = self.alphabet.get_symbols(
+                [t for t in toks[i, :lens[i]]])
+            self.refs.append(texts[i])
+            self.hyps.append(hyp)
+
+    def on_stage_end(self, ts):
+        if ts["stage"] is not Stage.EVAL or not self.refs:
+            return
+        from myrtlespeech_tpu.decoding.wer import cer, wer
+        r = ts.setdefault("reports", {})
+        r["wer"] = wer(self.refs, self.hyps)
+        r["cer"] = cer(self.refs, self.hyps)
+        for i in range(min(self.log_transcripts, len(self.refs))):
+            r[f"transcript_{i}"] = {"ref": self.refs[i],
+                                    "hyp": self.hyps[i]}
+
+
+class CSVLogger(Callback):
+    """Reference ``callbacks/csv_logger.py``: per-batch metric rows."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._file = None
+        self._writer = None
+
+    def on_train_begin(self, ts):
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        self._file = open(self.path, "w", newline="")
+        self._writer = None
+
+    def on_batch_end(self, ts):
+        row = {"step": ts["step"], "epoch": ts["epoch"],
+               "stage": ts["stage"].value}
+        for k, v in ts["metrics"].items():
+            try:
+                row[k] = float(v)
+            except (TypeError, ValueError):
+                continue
+        if self._writer is None:
+            self._writer = csv.DictWriter(self._file,
+                                          fieldnames=list(row.keys()),
+                                          extrasaction="ignore")
+            self._writer.writeheader()
+        self._writer.writerow(row)
+
+    def on_train_end(self, ts):
+        if self._file:
+            self._file.close()
+
+
+class TensorBoardLogger(Callback):
+    """Reference TensorBoard wiring (via tensorboardX here)."""
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+        self.writer = None
+
+    def on_train_begin(self, ts):
+        try:
+            from tensorboardX import SummaryWriter
+        except ImportError:
+            return
+        self.writer = SummaryWriter(self.log_dir)
+
+    def on_batch_end(self, ts):
+        if self.writer is None or ts["stage"] is not Stage.TRAIN:
+            return
+        for k, v in ts["metrics"].items():
+            try:
+                self.writer.add_scalar(f"train/{k}", float(v), ts["step"])
+            except (TypeError, ValueError):
+                continue
+
+    def on_epoch_end(self, ts):
+        if self.writer is None:
+            return
+        for k, v in ts.get("reports", {}).items():
+            if isinstance(v, (int, float)):
+                self.writer.add_scalar(f"report/{k}", v, ts["step"])
+
+    def on_train_end(self, ts):
+        if self.writer is not None:
+            self.writer.close()
+
+
+class StopEpochAfter(Callback):
+    """Reference ``callbacks/stop_epoch_after.py``: cap batches per epoch
+    (smoke tests)."""
+
+    def __init__(self, n_batches: int):
+        self.n_batches = n_batches
+
+    def on_batch_end(self, ts):
+        if ts.get("batch_index", 0) >= self.n_batches:
+            ts["stop_epoch"] = True
+
+
+class ThroughputMonitor(Callback):
+    """North-star metric: audio-seconds/sec (per chip) from summed wav_lens."""
+
+    def __init__(self, sample_rate: int = 16000):
+        self.sample_rate = sample_rate
+
+    def on_stage_begin(self, ts):
+        self._audio_s = 0.0
+        self._t0 = time.perf_counter()
+
+    def on_batch_end(self, ts):
+        batch = ts.get("batch")
+        if batch is not None and "wav_lens" in batch:
+            import numpy as np
+            self._audio_s += float(np.sum(batch["wav_lens"])) \
+                / self.sample_rate
+
+    def on_stage_end(self, ts):
+        dt = time.perf_counter() - self._t0
+        ts.setdefault("reports", {})[
+            f"{ts['stage'].value}_audio_sec_per_sec"] = \
+            self._audio_s / max(dt, 1e-9)

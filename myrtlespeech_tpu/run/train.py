@@ -1,0 +1,217 @@
+"""Training/eval loop: jitted steps + host-side fit.
+
+Reference: ``src/myrtlespeech/run/train.py :: fit`` — an eager epoch/batch
+loop dispatching one CUDA op at a time.  TPU-native translation (SURVEY.md
+§3.1): everything from batch arrival to optimizer update collapses into ONE
+compiled, donated ``train_step(state, batch) -> (state, metrics)``; the
+host loop only feeds bucketed batches and fires callbacks.  Mixed precision
+is native bf16 (no loss scaling needed on TPU), replacing apex amp.
+
+The same step functions work single-chip and under an explicit device mesh
+(see ``myrtlespeech_tpu/parallel``): batches are sharded over the ``data``
+axis and XLA inserts the gradient ``psum``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from myrtlespeech_tpu.builders.build import Task
+from myrtlespeech_tpu.data.batch import BucketedLoader
+from myrtlespeech_tpu.models.rnn_t import RNNT
+from myrtlespeech_tpu.run.callbacks import CallbackHandler, Stage
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any  # {} when the model has no BatchNorm
+    opt_state: Any
+    step: jnp.ndarray
+    rng: jax.Array
+
+
+def init_state(task: Task, rng: jax.Array, example_batch: Dict[str, Any]
+               ) -> TrainState:
+    """Initialise parameters and optimizer state from one example batch."""
+    rng, init_rng, feat_rng = jax.random.split(rng, 3)
+    feats, flens = task.preprocess(
+        feat_rng, jnp.asarray(example_batch["wav"]),
+        jnp.asarray(example_batch["wav_lens"]), False)
+    if task.transducer:
+        variables = task.model.init(
+            init_rng, feats, flens, jnp.asarray(example_batch["labels"]),
+            jnp.asarray(example_batch["label_lens"]), False)
+    else:
+        variables = task.model.init(init_rng, feats, flens, False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    opt_state = task.optimizer.init(params)
+    return TrainState(params=params, batch_stats=batch_stats,
+                      opt_state=opt_state, step=jnp.zeros((), jnp.int32),
+                      rng=rng)
+
+
+def _forward(task: Task, params, batch_stats, rng, batch, train: bool):
+    """Shared forward: preprocess -> model -> per-batch mean loss."""
+    rng, feat_rng, drop_rng = jax.random.split(rng, 3)
+    feats, flens = task.preprocess(
+        feat_rng, batch["wav"], batch["wav_lens"], train)
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    # NB: flax treats mutable=[] like mutable-mode (returns (out, vars));
+    # only mutable=False returns the bare output.
+    kwargs = dict(
+        mutable=["batch_stats"] if (train and batch_stats) else False,
+        rngs={"dropout": drop_rng} if train else {})
+    if task.transducer:
+        out = task.model.apply(variables, feats, flens, batch["labels"],
+                               batch["label_lens"], train, **kwargs)
+    else:
+        out = task.model.apply(variables, feats, flens, train, **kwargs)
+    if kwargs["mutable"]:
+        (logits, out_lens), updates = out
+        new_stats = updates.get("batch_stats", batch_stats)
+    else:
+        logits, out_lens = out
+        new_stats = batch_stats
+    loss = task.loss_fn(logits, out_lens, batch["labels"],
+                        batch["label_lens"])
+    return loss, (logits, out_lens, new_stats)
+
+
+def train_step_body(task: Task) -> Callable:
+    """The raw (un-jitted) train step; shared by single-chip jit and the
+    sharded pjit path (``parallel/sharding.py``)."""
+
+    def train_step(state: TrainState, batch):
+        rng, step_rng = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            return _forward(task, params, state.batch_stats, step_rng,
+                            batch, True)
+
+        (loss, (_, _, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = task.optimizer.update(
+            grads, state.opt_state, state.params)
+        params = jax.tree_util.tree_map(
+            lambda p, u: p + u, state.params, updates)
+        gnorm = jax.tree_util.tree_reduce(
+            lambda a, g: a + jnp.sum(jnp.square(g.astype(jnp.float32))),
+            grads, jnp.zeros(())) ** 0.5
+        metrics = {"loss": loss, "grad_norm": gnorm,
+                   "lr": task.lr_schedule(state.step)}
+        new_state = TrainState(params=params, batch_stats=new_stats,
+                               opt_state=opt_state, step=state.step + 1,
+                               rng=rng)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_train_step(task: Task) -> Callable:
+    """Build the donated, jitted single-chip train step."""
+    return jax.jit(train_step_body(task), donate_argnums=(0,))
+
+
+def make_eval_step(task: Task, decode: bool = True,
+                   max_output_len: int = 200) -> Callable:
+    """Build the jitted eval step: loss + on-device decoding."""
+
+    def eval_step(state: TrainState, batch):
+        rng = jax.random.PRNGKey(0)  # eval is deterministic
+        loss, (logits, out_lens, _) = _forward(
+            task, state.params, state.batch_stats, rng, batch, False)
+        metrics = {"loss": loss}
+        if decode:
+            variables = {"params": state.params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            if task.transducer:
+                rng2, feat_rng = jax.random.split(rng)
+                feats, flens = task.preprocess(
+                    feat_rng, batch["wav"], batch["wav_lens"], False)
+                f, f_lens = task.model.apply(
+                    variables, feats, flens, method=RNNT.encode)
+                toks, tlens = task.decoder(variables, f, f_lens,
+                                           max_output_len=max_output_len)
+            else:
+                toks, tlens = task.decoder(logits, out_lens)
+            metrics["decoded_tokens"] = toks
+            metrics["decoded_lens"] = tlens
+        return metrics
+
+    return jax.jit(eval_step)
+
+
+def fit(task: Task, epochs: Optional[int] = None, callbacks=(),
+        batch_size: Optional[int] = None, decode_eval: bool = True,
+        seed: Optional[int] = None, loader_kwargs: Optional[dict] = None,
+        eval_loader_kwargs: Optional[dict] = None) -> CallbackHandler:
+    """Train ``task`` for ``epochs`` (reference ``fit`` semantics).
+
+    Returns the callback handler (its ``state['reports']`` carries final
+    metrics: mean losses, WER/CER, throughput).
+    """
+    tc = task.cfg.train_config
+    epochs = epochs if epochs is not None else tc.epochs
+    batch_size = batch_size or tc.batch_size
+    seed = seed if seed is not None else tc.seed
+    lk = dict(loader_kwargs or {})
+    train_loader = BucketedLoader(
+        task.train_dataset, task.alphabet, batch_size,
+        shuffle=tc.shuffle_batches_before_every_epoch, seed=seed, **lk)
+    eval_loader = None
+    if task.eval_dataset is not None:
+        ek = dict(eval_loader_kwargs or lk)
+        eval_loader = BucketedLoader(task.eval_dataset, task.alphabet,
+                                     batch_size, shuffle=False, **ek)
+
+    handler = CallbackHandler(list(callbacks))
+    train_step = make_train_step(task)
+    eval_step = make_eval_step(task, decode=decode_eval)
+
+    rng = jax.random.PRNGKey(seed)
+    state: Optional[TrainState] = None
+
+    handler.on_train_begin()
+    for epoch in range(epochs):
+        handler.on_epoch_begin(epoch)
+
+        handler.on_stage_begin(Stage.TRAIN)
+        for batch in train_loader:
+            arrays = {k: v for k, v in batch.items() if k != "texts"}
+            if state is None:
+                state = init_state(task, rng, arrays)
+            handler.on_batch_begin(batch)
+            state, metrics = train_step(state, arrays)
+            handler.on_batch_end(metrics)
+            if handler.state["stop_epoch"] or handler.state["stop_training"]:
+                break
+        handler.state["train_state"] = state
+        handler.on_stage_end()
+
+        if eval_loader is not None and state is not None:
+            handler.on_stage_begin(Stage.EVAL)
+            for batch in eval_loader:
+                arrays = {k: v for k, v in batch.items() if k != "texts"}
+                handler.on_batch_begin(batch)
+                metrics = eval_step(state, arrays)
+                handler.on_batch_end(metrics)
+                if handler.state["stop_epoch"] \
+                        or handler.state["stop_training"]:
+                    break
+            handler.on_stage_end()
+
+        handler.on_epoch_end()
+        if handler.state["stop_training"]:
+            break
+    handler.on_train_end()
+    handler.state["train_state"] = state
+    return handler

@@ -1,14 +1,20 @@
 """Test configuration: run the whole suite on a virtual 8-device CPU mesh.
 
-Mirrors the reference's CPU-only CI strategy (tests/ run on CircleCI without
-a GPU); here we additionally get 8 virtual devices so pjit/collective code
-paths are exercised without a TPU pod — the standard JAX trick
-(``--xla_force_host_platform_device_count``).
+Mirrors the reference's CPU-only CI strategy (its tests/ run on CircleCI
+without a GPU); the 8 virtual devices additionally exercise pjit/collective
+code paths without a TPU pod (``--xla_force_host_platform_device_count``,
+the standard JAX trick).
+
+Environment quirk (TPU sandbox): a ``sitecustomize`` registers the
+experimental ``axon`` TPU backend at interpreter start, and a process
+started with ``JAX_PLATFORMS=cpu`` in its *environment* hangs inside that
+registration.  Selecting CPU via ``jax.config.update`` after import avoids
+the hang entirely, so that is the only supported way to force CPU here.
+``XLA_FLAGS`` still works from here because backends initialise lazily.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,4 +22,5 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,93 @@
+"""Data pipeline tests: fake dataset ranges, collate, bucketing."""
+
+import numpy as np
+import pytest
+
+from myrtlespeech_tpu.config.schema import FakeSpeechToTextConfig, IntRange
+from myrtlespeech_tpu.data.alphabet import Alphabet
+from myrtlespeech_tpu.data.batch import (BucketedLoader, bucket_for, collate,
+                                         geometric_buckets)
+from myrtlespeech_tpu.data.dataset.fake import FakeSpeechToText
+
+
+def _cfg(**kw):
+    base = dict(dataset_len=20, audio_ms=IntRange(100, 300),
+                label_symbols="abc", label_len=IntRange(1, 5), seed=0)
+    base.update(kw)
+    return FakeSpeechToTextConfig(**base)
+
+
+def test_fake_dataset_respects_ranges():
+    ds = FakeSpeechToText(_cfg())
+    assert len(ds) == 20
+    for i in range(20):
+        wav, text = ds[i]
+        assert 1600 <= len(wav) <= 4800  # 100-300 ms @ 16 kHz
+        assert 1 <= len(text) <= 5
+        assert set(text) <= set("abc")
+
+
+def test_fake_dataset_deterministic():
+    a, b = FakeSpeechToText(_cfg()), FakeSpeechToText(_cfg())
+    w1, t1 = a[3]
+    w2, t2 = b[3]
+    np.testing.assert_array_equal(w1, w2)
+    assert t1 == t2
+    assert a.duration_samples(3) == len(w1)
+
+
+def test_collate_padding():
+    alphabet = Alphabet("abc")
+    samples = [(np.ones(5, np.float32), "ab"),
+               (np.ones(3, np.float32), "c")]
+    batch = collate(samples, alphabet, audio_pad_to=8, label_pad_to=4)
+    assert batch["wav"].shape == (2, 8)
+    np.testing.assert_array_equal(batch["wav_lens"], [5, 3])
+    np.testing.assert_array_equal(batch["labels"][0], [0, 1, 0, 0])
+    np.testing.assert_array_equal(batch["labels"][1], [2, 0, 0, 0])
+    np.testing.assert_array_equal(batch["label_lens"], [2, 1])
+    assert batch["wav"][1, 3:].sum() == 0
+
+
+def test_geometric_buckets():
+    bk = geometric_buckets(1000, 16000)
+    assert all(b % 128 == 0 for b in bk)
+    assert bk[-1] >= 16000
+    assert bucket_for(1, bk) == bk[0]
+    assert bucket_for(16000, bk) == bk[-1]
+    with pytest.raises(ValueError):
+        bucket_for(bk[-1] + 1, bk)
+
+
+def test_bucketed_loader_static_shapes():
+    ds = FakeSpeechToText(_cfg(dataset_len=30))
+    loader = BucketedLoader(ds, Alphabet("abc"), batch_size=4,
+                            label_bucket=8, seed=1)
+    shapes = set()
+    n = 0
+    for batch in loader:
+        B, S = batch["wav"].shape
+        assert B == 4
+        assert batch["labels"].shape[1] % 8 == 0
+        assert np.all(batch["wav_lens"] <= S)
+        shapes.add((S, batch["labels"].shape[1]))
+        n += batch["n_real"]
+    assert n == 30  # padding duplicates excluded from n_real
+    # bucketing bounds the number of distinct shapes
+    assert len(shapes) <= 6
+
+
+def test_bucketed_loader_epoch_reshuffle():
+    ds = FakeSpeechToText(_cfg(dataset_len=16, audio_ms=IntRange(100, 101)))
+    loader = BucketedLoader(ds, Alphabet("abc"), batch_size=4, shuffle=True)
+    first = [b["wav_lens"].tolist() for b in loader]
+    second = [b["wav_lens"].tolist() for b in loader]
+    assert len(first) == len(second) == 4
+
+
+def test_drop_remainder():
+    ds = FakeSpeechToText(_cfg(dataset_len=10, audio_ms=IntRange(100, 101)))
+    loader = BucketedLoader(ds, Alphabet("abc"), batch_size=4,
+                            drop_remainder=True, shuffle=False)
+    batches = list(loader)
+    assert len(batches) == 2  # 10 // 4

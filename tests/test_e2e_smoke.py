@@ -1,0 +1,173 @@
+"""End-to-end smoke tests: build a full task from a config and fit it.
+
+Mirrors the reference's ``tests/run/`` smoke strategy (FakeDataset ->
+build -> fit 1 epoch on CPU -> loss finite, callbacks fire), plus
+TPU-build extras: loss decreases over steps, checkpoint save/restore
+round-trips, the CLI runs.
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from myrtlespeech_tpu.builders.build import build_task
+from myrtlespeech_tpu.config import schema as S
+from myrtlespeech_tpu.run import callbacks as C
+from myrtlespeech_tpu.run.train import fit
+
+
+def _tiny_ctc_cfg(epochs=1):
+    return S.TaskConfig(
+        speech_to_text=S.SpeechToTextConfig(
+            alphabet="_abc ",
+            pre_process_steps=(
+                S.PreProcessStepConfig(S.MFCCConfig(
+                    n_mels=16, log_mel_only=True)),
+                S.PreProcessStepConfig(S.StandardizeConfig()),
+            ),
+            model=S.DeepSpeech2Config(
+                conv_block=(S.Conv2dConfig(out_channels=4, kernel_time=5,
+                                           kernel_feature=5, stride_time=2,
+                                           stride_feature=2),),
+                rnn=S.RNNConfig(hidden_size=16, num_layers=1,
+                                bidirectional=True),
+                fully_connected=S.FullyConnectedConfig()),
+            loss=S.CTCLossConfig(blank_index=0),
+            post_process=S.CTCGreedyDecoderConfig(blank_index=0)),
+        train_config=S.TrainConfig(
+            batch_size=4, epochs=epochs,
+            optimizer=S.AdamConfig(learning_rate=3e-3),
+            grad_clip_norm=5.0, compute_dtype="float32"),
+        train_dataset=S.FakeSpeechToTextConfig(
+            dataset_len=16, audio_ms=S.IntRange(200, 220),
+            label_symbols="abc", label_len=S.IntRange(1, 4), seed=0),
+        eval_dataset=S.FakeSpeechToTextConfig(
+            dataset_len=8, audio_ms=S.IntRange(200, 220),
+            label_symbols="abc", label_len=S.IntRange(1, 4), seed=1),
+    )
+
+
+def _tiny_rnnt_cfg():
+    return S.TaskConfig(
+        speech_to_text=S.SpeechToTextConfig(
+            alphabet="_abc ",
+            pre_process_steps=(
+                S.PreProcessStepConfig(S.MFCCConfig(
+                    n_mels=16, log_mel_only=True)),
+            ),
+            model=S.RNNTConfig(
+                encoder=S.RNNTEncoderConfig(
+                    rnn1=S.RNNConfig(hidden_size=16, num_layers=1),
+                    time_reduction_factor=2,
+                    rnn2=S.RNNConfig(hidden_size=16, num_layers=1)),
+                prediction=S.RNNTPredictNetConfig(
+                    embedding_dim=8,
+                    rnn=S.RNNConfig(hidden_size=16, num_layers=1)),
+                joint=S.RNNTJointNetConfig(
+                    fc=S.FullyConnectedConfig(num_hidden_layers=0))),
+            loss=S.RNNTLossConfig(blank_index=0),
+            post_process=S.RNNTGreedyDecoderConfig(
+                blank_index=0, max_symbols_per_step=4)),
+        train_config=S.TrainConfig(
+            batch_size=4, epochs=1,
+            optimizer=S.AdamConfig(learning_rate=3e-3),
+            grad_clip_norm=5.0, compute_dtype="float32"),
+        train_dataset=S.FakeSpeechToTextConfig(
+            dataset_len=8, audio_ms=S.IntRange(200, 210),
+            label_symbols="abc", label_len=S.IntRange(1, 3), seed=0),
+        eval_dataset=S.FakeSpeechToTextConfig(
+            dataset_len=4, audio_ms=S.IntRange(200, 210),
+            label_symbols="abc", label_len=S.IntRange(1, 3), seed=1),
+    )
+
+
+class _RecordLosses(C.Callback):
+    def on_train_begin(self, ts):
+        self.losses = []
+
+    def on_batch_end(self, ts):
+        if ts["stage"] is C.Stage.TRAIN:
+            self.losses.append(float(ts["metrics"]["loss"]))
+
+
+def test_fit_ctc_smoke():
+    cfg = _tiny_ctc_cfg(epochs=3)
+    task = build_task(cfg, steps_per_epoch=4)
+    rec = _RecordLosses()
+    handler = fit(task, callbacks=[rec, C.ReportMeanBatchLoss(),
+                                   C.ReportDecoderWER(task.alphabet),
+                                   C.ThroughputMonitor()])
+    assert len(rec.losses) == 12  # 16/4 batches x 3 epochs
+    assert all(np.isfinite(l) for l in rec.losses)
+    # training on 16 fixed samples for 3 epochs must reduce loss
+    assert np.mean(rec.losses[-4:]) < np.mean(rec.losses[:4])
+    reports = handler.state["reports"]
+    assert "train_mean_loss" in reports
+    assert "wer" in reports and 0.0 <= reports["wer"] <= 1.5
+    assert reports["train_audio_sec_per_sec"] > 0
+
+
+def test_fit_rnnt_smoke():
+    cfg = _tiny_rnnt_cfg()
+    task = build_task(cfg, steps_per_epoch=2)
+    handler = fit(task, callbacks=[C.ReportMeanBatchLoss(),
+                                   C.ReportDecoderWER(task.alphabet)])
+    reports = handler.state["reports"]
+    assert np.isfinite(reports["train_mean_loss"])
+    assert "wer" in reports
+
+
+def test_stop_epoch_after():
+    cfg = _tiny_ctc_cfg(epochs=1)
+    task = build_task(cfg, steps_per_epoch=4)
+    rec = _RecordLosses()
+    fit(task, callbacks=[rec, C.StopEpochAfter(2)], decode_eval=False)
+    assert len(rec.losses) == 2
+
+
+def test_csv_logger(tmp_path):
+    cfg = _tiny_ctc_cfg(epochs=1)
+    task = build_task(cfg, steps_per_epoch=4)
+    path = str(tmp_path / "log.csv")
+    fit(task, callbacks=[C.CSVLogger(path), C.StopEpochAfter(2)],
+        decode_eval=False)
+    lines = open(path).read().strip().splitlines()
+    assert lines[0].startswith("step,")
+    assert len(lines) >= 3
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax
+    from myrtlespeech_tpu.run.checkpoint import CheckpointManager
+    from myrtlespeech_tpu.run.train import init_state
+
+    cfg = _tiny_ctc_cfg()
+    task = build_task(cfg, steps_per_epoch=4)
+    loader_batch = None
+    from myrtlespeech_tpu.data.batch import BucketedLoader
+    loader = BucketedLoader(task.train_dataset, task.alphabet, 4)
+    for b in loader:
+        loader_batch = {k: v for k, v in b.items() if k != "texts"}
+        break
+    state = init_state(task, jax.random.PRNGKey(0), loader_batch)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"))
+    mgr.save(0, state)
+    mgr.wait()
+    assert mgr.latest_step() == 0
+    restored = mgr.restore(state)
+    p0 = jax.tree_util.tree_leaves(state.params)[0]
+    r0 = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(r0))
+
+
+def test_cli_smoke(tmp_path, capsys):
+    from myrtlespeech_tpu.run.cli import main
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg_path = os.path.join(root, "configs", "ctc_tiny_fake.py")
+    rc = main(["--config", cfg_path, "--epochs", "1", "--max_batches", "2",
+               "--no_decode"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "train_mean_loss" in out
