@@ -83,11 +83,17 @@ class Activation(enum.Enum):
 
 
 class RNNType(enum.Enum):
-    """RNN cell selector (mirrors ``rnn.proto :: RNNType``)."""
+    """RNN cell selector (mirrors ``rnn.proto :: RNNType``).
+
+    HARD_LSTM mirrors the reference's ``model/hard_lstm.py :: HardLSTM``:
+    an LSTM with piecewise-linear (hard) sigmoid/tanh, used for
+    quantisation/FPGA-friendly deployments.
+    """
 
     LSTM = "lstm"
     GRU = "gru"
     BASIC_RNN = "basic_rnn"
+    HARD_LSTM = "hard_lstm"
 
 
 @dataclass(frozen=True)
@@ -510,6 +516,7 @@ class TrainConfig:
     # TPU-native additions (no reference equivalent; apex amp -> native bf16):
     compute_dtype: str = "bfloat16"  # activations/matmuls; params stay fp32
     seed: int = 0
+    debug_nans: bool = False  # jax_debug_nans toggle (SURVEY.md §5)
 
 
 # ---------------------------------------------------------------------------

@@ -138,3 +138,43 @@ class BucketedLoader:
             batch = collate(samples, self.alphabet, bucket, label_pad)
             batch["n_real"] = np.asarray(n_real, np.int32)
             yield batch
+
+
+class PrefetchLoader:
+    """Background-thread prefetching wrapper around any batch iterable.
+
+    The TPU-native equivalent of the reference's multi-process torch
+    DataLoader workers (SURVEY.md §2.10 N6): batch assembly (audio read +
+    collate) overlaps with device compute.  Threads suffice here because
+    collate is numpy/IO-bound and releases the GIL.
+    """
+
+    def __init__(self, loader, prefetch: int = 2):
+        self.loader = loader
+        self.prefetch = prefetch
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        SENTINEL = object()
+
+        def worker():
+            try:
+                for batch in self.loader:
+                    q.put(batch)
+            finally:
+                q.put(SENTINEL)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is SENTINEL:
+                break
+            yield item
+        t.join()

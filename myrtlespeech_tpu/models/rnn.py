@@ -24,7 +24,8 @@ from myrtlespeech_tpu.ops import rnn as rnn_ops
 
 
 def _gate_count(t: RNNType) -> int:
-    return {RNNType.LSTM: 4, RNNType.GRU: 3, RNNType.BASIC_RNN: 1}[t]
+    return {RNNType.LSTM: 4, RNNType.GRU: 3, RNNType.BASIC_RNN: 1,
+            RNNType.HARD_LSTM: 4}[t]
 
 
 def _use_pallas_lstm(cfg: RNNConfig, dtype, B: int) -> bool:
@@ -98,6 +99,11 @@ class RNN(nn.Module):
                     out, st = _scan(
                         y, lengths, w_ih, w_hh, b, h0c0=init,
                         reverse=bool(d), compute_dtype=self.dtype)
+                elif c.rnn_type is RNNType.HARD_LSTM:
+                    out, st = rnn_ops.lstm_scan(
+                        y, lengths, w_ih, w_hh, b, h0c0=init,
+                        reverse=bool(d), compute_dtype=self.dtype,
+                        hard=True)
                 elif c.rnn_type is RNNType.GRU:
                     out, st = rnn_ops.gru_scan(
                         y, lengths, w_ih, w_hh, b, None, h0=init,

@@ -50,7 +50,7 @@ def _lstm_kernel(x_proj_ref, valid_ref, w_hh_ref, b_ref, h0_ref, c0_ref,
     c = c_scr[:]
     gates = x_proj_ref[0] + jnp.dot(
         h.astype(jnp.bfloat16), w_hh_ref[:],
-        preferred_element_type=jnp.float32) + b_ref[:]
+        preferred_element_type=jnp.float32) + b_ref[0]
     i = jax.nn.sigmoid(gates[:, :H])
     f = jax.nn.sigmoid(gates[:, H:2 * H])
     g = jnp.tanh(gates[:, 2 * H:3 * H])
@@ -58,7 +58,7 @@ def _lstm_kernel(x_proj_ref, valid_ref, w_hh_ref, b_ref, h0_ref, c0_ref,
     c_new = f * c + i * g
     h_new = o * jnp.tanh(c_new)
 
-    v = valid_ref[0].astype(jnp.float32)[:, None]  # (B, 1)
+    v = valid_ref[0, 0].astype(jnp.float32)[:, None]  # (B, 1)
     h_out = v * h_new + (1.0 - v) * h
     c_out = v * c_new + (1.0 - v) * c
     h_scr[:] = h_out
@@ -84,11 +84,12 @@ def _lstm_pallas_fwd_call(x_proj, valid, w_hh, b, h0, c0):
         in_specs=[
             pl.BlockSpec((1, B, H4), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B), lambda t: (t, 0),
+            pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((H, H4), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((H4,), lambda t: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H4), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), lambda t: (0, 0),
@@ -114,7 +115,8 @@ def _lstm_pallas_fwd_call(x_proj, valid, w_hh, b, h0, c0):
             pltpu.VMEM((B, H), jnp.float32),
             pltpu.VMEM((B, H), jnp.float32),
         ],
-    )(x_proj, valid, w_hh.astype(jnp.bfloat16), b, h0, c0)
+    )(x_proj, valid.reshape(T, 1, B), w_hh.astype(jnp.bfloat16),
+      b.reshape(1, H4), h0, c0)
     return out
 
 

@@ -58,7 +58,18 @@ def reverse_sequences(x, lengths, time_axis: int = 0):
         x, src.reshape((T, B) + (1,) * (x.ndim - 2)), axis=0)
 
 
-def lstm_cell(x_proj_t, state: LSTMState, w_hh, b, compute_dtype):
+def hard_sigmoid(x):
+    """Piecewise-linear sigmoid: ``clip(0.2x + 0.5, 0, 1)`` (reference
+    ``hard_lstm.py`` convention, FPGA/quantisation-friendly)."""
+    return jnp.clip(0.2 * x + 0.5, 0.0, 1.0)
+
+
+def hard_tanh(x):
+    return jnp.clip(x, -1.0, 1.0)
+
+
+def lstm_cell(x_proj_t, state: LSTMState, w_hh, b, compute_dtype,
+              hard: bool = False):
     """One LSTM step. ``x_proj_t``: (B, 4H) precomputed input projection."""
     H = state.h.shape[-1]
     gates = x_proj_t.astype(jnp.float32) + jnp.dot(
@@ -66,18 +77,20 @@ def lstm_cell(x_proj_t, state: LSTMState, w_hh, b, compute_dtype):
         preferred_element_type=jnp.float32)
     if b is not None:
         gates = gates + b.astype(jnp.float32)
-    i = jax.nn.sigmoid(gates[:, :H])
-    f = jax.nn.sigmoid(gates[:, H:2 * H])
-    g = jnp.tanh(gates[:, 2 * H:3 * H])
-    o = jax.nn.sigmoid(gates[:, 3 * H:])
+    sig = hard_sigmoid if hard else jax.nn.sigmoid
+    th = hard_tanh if hard else jnp.tanh
+    i = sig(gates[:, :H])
+    f = sig(gates[:, H:2 * H])
+    g = th(gates[:, 2 * H:3 * H])
+    o = sig(gates[:, 3 * H:])
     c = f * state.c + i * g
-    h = o * jnp.tanh(c)
+    h = o * th(c)
     return LSTMState(h=h, c=c)
 
 
 def lstm_scan(x, lengths, w_ih, w_hh, b, h0c0: Optional[LSTMState] = None,
-              reverse: bool = False, compute_dtype=jnp.bfloat16
-              ) -> Tuple[jnp.ndarray, LSTMState]:
+              reverse: bool = False, compute_dtype=jnp.bfloat16,
+              hard: bool = False) -> Tuple[jnp.ndarray, LSTMState]:
     """Run an LSTM over a time-major padded batch.
 
     Args:
@@ -108,7 +121,7 @@ def lstm_scan(x, lengths, w_ih, w_hh, b, h0c0: Optional[LSTMState] = None,
 
     def step(state: LSTMState, inputs):
         x_t, valid_t = inputs
-        new = lstm_cell(x_t, state, w_hh, b, compute_dtype)
+        new = lstm_cell(x_t, state, w_hh, b, compute_dtype, hard=hard)
         m = valid_t[:, None]
         # Freeze state on padded steps so the final carry is the state at
         # t = len-1 (packed-sequence semantics).

@@ -150,3 +150,51 @@ def make_sharded_train_step(task, mesh: Mesh, state, example_batch):
         return jax.device_put(batch, batch_shardings(mesh, batch))
 
     return train_step, placed_state, place_batch
+
+
+def make_sharded_eval_step(task, mesh: Mesh, state, example_batch,
+                           decode: bool = True, max_output_len: int = 200):
+    """jit the eval step (loss + on-device decoding) over ``mesh``.
+
+    Decode-time parallelism (SURVEY.md §2.11): utterances shard over
+    ``data`` — each chip decodes its shard — while TP-sharded prediction/
+    joint matrices make every beam/greedy joint evaluation a distributed
+    matmul whose partial logits GSPMD all-gathers across the ``model``
+    axis (the collective hypothesis exchange of the north-star, inserted
+    automatically from the sharding annotations).
+    """
+    st_sh = state_shardings(mesh, state)
+    b_sh = batch_shardings(mesh, example_batch)
+    from myrtlespeech_tpu.run import train as T
+
+    def eval_body(state, batch):
+        rng = jax.random.PRNGKey(0)
+        loss, (logits, out_lens, _) = T._forward(
+            task, state.params, state.batch_stats, rng, batch, False)
+        metrics = {"loss": loss}
+        if decode:
+            variables = {"params": state.params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            if task.transducer:
+                from myrtlespeech_tpu.models.rnn_t import RNNT
+                rng2, feat_rng = jax.random.split(rng)
+                feats, flens = task.preprocess(
+                    feat_rng, batch["wav"], batch["wav_lens"], False)
+                f, f_lens = task.model.apply(
+                    variables, feats, flens, method=RNNT.encode)
+                toks, tlens = task.decoder(variables, f, f_lens,
+                                           max_output_len=max_output_len)
+            else:
+                toks, tlens = task.decoder(logits, out_lens)
+            metrics["decoded_tokens"] = toks
+            metrics["decoded_lens"] = tlens
+        return metrics
+
+    eval_step = jax.jit(eval_body, in_shardings=(st_sh, b_sh),
+                        out_shardings=None)
+
+    def place_batch(batch):
+        return jax.device_put(batch, batch_shardings(mesh, batch))
+
+    return eval_step, place_batch

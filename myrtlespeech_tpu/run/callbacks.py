@@ -233,6 +233,40 @@ class StopEpochAfter(Callback):
             ts["stop_epoch"] = True
 
 
+class ProfilerCallback(Callback):
+    """jax.profiler trace over a step window (SURVEY.md §5 tracing plan).
+
+    Captures a TensorBoard-viewable trace of steps
+    ``[start_step, start_step + num_steps)`` into ``log_dir``.
+    """
+
+    def __init__(self, log_dir: str, start_step: int = 10,
+                 num_steps: int = 5):
+        self.log_dir = log_dir
+        self.start_step = start_step
+        self.end_step = start_step + num_steps
+        self._active = False
+
+    def on_batch_begin(self, ts):
+        import jax
+        if ts["stage"] is Stage.TRAIN and not self._active \
+                and ts["step"] == self.start_step:
+            jax.profiler.start_trace(self.log_dir)
+            self._active = True
+
+    def on_batch_end(self, ts):
+        import jax
+        if self._active and ts["step"] >= self.end_step:
+            jax.profiler.stop_trace()
+            self._active = False
+
+    def on_train_end(self, ts):
+        import jax
+        if self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+
+
 class ThroughputMonitor(Callback):
     """North-star metric: audio-seconds/sec (per chip) from summed wav_lens."""
 

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from myrtlespeech_tpu.builders.build import Task
-from myrtlespeech_tpu.data.batch import BucketedLoader
+from myrtlespeech_tpu.data.batch import BucketedLoader, PrefetchLoader
 from myrtlespeech_tpu.models.rnn_t import RNNT
 from myrtlespeech_tpu.run.callbacks import CallbackHandler, Stage
 
@@ -160,18 +160,26 @@ def fit(task: Task, epochs: Optional[int] = None, callbacks=(),
     metrics: mean losses, WER/CER, throughput).
     """
     tc = task.cfg.train_config
+    if tc.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     epochs = epochs if epochs is not None else tc.epochs
     batch_size = batch_size or tc.batch_size
     seed = seed if seed is not None else tc.seed
     lk = dict(loader_kwargs or {})
+    prefetch = lk.pop("prefetch", 2)
     train_loader = BucketedLoader(
         task.train_dataset, task.alphabet, batch_size,
         shuffle=tc.shuffle_batches_before_every_epoch, seed=seed, **lk)
+    if prefetch:
+        train_loader = PrefetchLoader(train_loader, prefetch)
     eval_loader = None
     if task.eval_dataset is not None:
         ek = dict(eval_loader_kwargs or lk)
+        ek.pop("prefetch", None)
         eval_loader = BucketedLoader(task.eval_dataset, task.alphabet,
                                      batch_size, shuffle=False, **ek)
+        if prefetch:
+            eval_loader = PrefetchLoader(eval_loader, prefetch)
 
     handler = CallbackHandler(list(callbacks))
     train_step = make_train_step(task)

@@ -91,3 +91,15 @@ def test_drop_remainder():
                             drop_remainder=True, shuffle=False)
     batches = list(loader)
     assert len(batches) == 2  # 10 // 4
+
+
+def test_prefetch_loader_equivalent():
+    from myrtlespeech_tpu.data.batch import PrefetchLoader
+    ds = FakeSpeechToText(_cfg(dataset_len=12))
+    base = BucketedLoader(ds, Alphabet("abc"), batch_size=4, shuffle=False)
+    direct = [b["wav_lens"].tolist() for b in base]
+    base2 = BucketedLoader(ds, Alphabet("abc"), batch_size=4, shuffle=False)
+    pre = PrefetchLoader(base2, prefetch=2)
+    fetched = [b["wav_lens"].tolist() for b in pre]
+    assert direct == fetched
+    assert len(pre) == len(base)

@@ -97,3 +97,25 @@ def test_entry_compiles():
     fn, args = g.entry()
     loss, logits, out_lens = jax.jit(fn)(*args)
     assert np.isfinite(float(loss))
+
+
+def test_sharded_eval_decode_tp2():
+    """Eval with decoding under a (4 data, 2 model) mesh: TP-sharded joint
+    evaluations inside the transducer greedy while_loop compile+run (the
+    GSPMD-inserted collective hypothesis exchange path)."""
+    from myrtlespeech_tpu.parallel.sharding import make_sharded_eval_step
+    from myrtlespeech_tpu.run.train import init_state
+
+    g = _graft()
+    task = g._tiny_rnnt_task(batch_size=8)
+    batch = g._example_batch(8, samples=3200, label_len=8)
+    state = init_state(task, jax.random.PRNGKey(0), batch)
+    mesh = make_mesh(data=4, model=2)
+    eval_step, place_batch = make_sharded_eval_step(
+        task, mesh, state, batch, decode=True, max_output_len=16)
+    metrics = eval_step(jax.device_put(
+        state, __import__("myrtlespeech_tpu.parallel.sharding",
+                          fromlist=["state_shardings"]).state_shardings(
+                              mesh, state)), place_batch(batch))
+    assert np.isfinite(float(metrics["loss"]))
+    assert metrics["decoded_tokens"].shape == (8, 16)

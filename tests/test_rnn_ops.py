@@ -116,3 +116,26 @@ def test_reverse_sequences():
     out = np.asarray(rnn_ops.reverse_sequences(x, lens))[:, :, 0]
     np.testing.assert_array_equal(out[:, 0], [6, 4, 2, 0])
     np.testing.assert_array_equal(out[:, 1], [3, 1, 5, 7])
+
+
+def test_hard_lstm_matches_manual():
+    """HARD_LSTM: hard sigmoid/tanh cell (reference hard_lstm.py)."""
+    rng = np.random.default_rng(5)
+    T, B, F, H = 4, 2, 3, 4
+    x = rng.standard_normal((T, B, F)).astype(np.float32)
+    lens = np.array([4, 4], np.int32)
+    w_ih = rng.standard_normal((F, 4 * H)).astype(np.float32) * 0.5
+    w_hh = rng.standard_normal((H, 4 * H)).astype(np.float32) * 0.5
+    ys, final = rnn_ops.lstm_scan(
+        jnp.asarray(x), jnp.asarray(lens), jnp.asarray(w_ih),
+        jnp.asarray(w_hh), None, compute_dtype=jnp.float32, hard=True)
+
+    def hs(v): return np.clip(0.2 * v + 0.5, 0, 1)
+    def ht(v): return np.clip(v, -1, 1)
+    h = np.zeros((B, H)); c = np.zeros((B, H))
+    for t in range(T):
+        g = x[t] @ w_ih + h @ w_hh
+        i, f, gg, o = g[:, :H], g[:, H:2*H], g[:, 2*H:3*H], g[:, 3*H:]
+        c = hs(f) * c + hs(i) * ht(gg)
+        h = hs(o) * ht(c)
+        np.testing.assert_allclose(_np(ys[t]), h, rtol=1e-4, atol=1e-5)
