@@ -40,7 +40,10 @@ def main() -> None:
             dataset_len=64, audio_ms=S.IntRange(4000, 5000),
             label_symbols="abc defgh", label_len=S.IntRange(30, 60)),
         eval_dataset=None,
-        train_config=S.replace(cfg.train_config, batch_size=8),
+        # B=32 is the production-realistic per-chip batch: the recurrent
+        # gate matmuls go from 8 to 32 MXU rows (measured 2.4x audio-s/s
+        # over B=8 on v5e).
+        train_config=S.replace(cfg.train_config, batch_size=32),
     )
     task = build_task(cfg, steps_per_epoch=100)
 
@@ -50,21 +53,35 @@ def main() -> None:
     batch = _example_batch(B, samples=samples, label_len=64)
     batch["labels"] = np.clip(batch["labels"], 1, 27)
 
+    from myrtlespeech_tpu.run.train import train_step_body
+
     state = init_state(task, jax.random.PRNGKey(0), batch)
-    step = make_train_step(task)
+    body = train_step_body(task)
+    n_steps = 10
+
+    # All steps inside ONE compiled program: per-step host dispatch rides a
+    # high-variance network tunnel in this sandbox, so a Python step loop
+    # measures the tunnel, not the chip.
+    @jax.jit
+    def run_n(state, batch):
+        def one(_, st):
+            st, m = body(st, batch)
+            return st
+        state = jax.lax.fori_loop(0, n_steps, one, state)
+        _, m = body(state, batch)
+        return state, m["loss"]
 
     # Warmup/compile.  NB: force a host transfer, not just
     # block_until_ready — on the experimental remote platform the latter
     # has been observed to return before execution completes.
-    state, m = step(state, batch)
-    _ = float(m["loss"])
+    state, loss = run_n(state, batch)
+    _ = float(loss)
 
-    n_steps = 10
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state, m = step(state, batch)
-    final_loss = float(m["loss"])  # host fetch fences the whole chain
+    state, loss = run_n(state, batch)
+    final_loss = float(loss)  # host fetch fences the chain
     dt = time.perf_counter() - t0
+    n_steps = n_steps + 1  # the trailing metrics step also runs
     assert np.isfinite(final_loss)
 
     audio_sec = n_steps * B * seconds_per_utt

@@ -169,11 +169,32 @@ def build_loss(cfg: S.SpeechToTextConfig) -> Callable:
     lc = cfg.loss
     red = lc.reduction.value
     if isinstance(lc, S.CTCLossConfig):
-        return functools.partial(ctc_loss, blank_index=lc.blank_index,
-                                 reduction=red)
+        def ctc(logits, logit_lens, labels, label_lens):
+            from myrtlespeech_tpu.ops.pallas import pallas_lattice_supported
+            if jax.default_backend() == "tpu" \
+                    and pallas_lattice_supported(logits.shape[0]):
+                from myrtlespeech_tpu.ops.pallas.ctc_kernel import \
+                    ctc_loss_pallas as fn
+            else:
+                fn = ctc_loss
+            return fn(logits, logit_lens, labels, label_lens,
+                      blank_index=lc.blank_index, reduction=red)
+
+        return ctc
     if isinstance(lc, S.RNNTLossConfig):
-        return functools.partial(rnnt_loss, blank_index=lc.blank_index,
-                                 reduction=red)
+        def transducer(logits, logit_lens, labels, label_lens):
+            # Pallas lattice kernels on TPU; pure-lax elsewhere.
+            from myrtlespeech_tpu.ops.pallas import pallas_lattice_supported
+            if jax.default_backend() == "tpu" \
+                    and pallas_lattice_supported(logits.shape[0]):
+                from myrtlespeech_tpu.ops.pallas.rnnt_kernel import \
+                    rnnt_loss_pallas as fn
+            else:
+                fn = rnnt_loss
+            return fn(logits, logit_lens, labels, label_lens,
+                      blank_index=lc.blank_index, reduction=red)
+
+        return transducer
     raise ValueError(f"unknown loss config {type(lc)}")
 
 

@@ -76,7 +76,12 @@ class BucketedLoader:
     def __init__(self, dataset, alphabet: Alphabet, batch_size: int, *,
                  audio_buckets: Optional[Sequence[int]] = None,
                  label_bucket: int = 32, shuffle: bool = True, seed: int = 0,
-                 drop_remainder: bool = False):
+                 drop_remainder: bool = False,
+                 shard_id: int = 0, num_shards: int = 1):
+        """``shard_id``/``num_shards``: per-host sharding for multi-host
+        input pipelines (SURVEY.md §2.10 N6) — host k reads indices
+        ``i % num_shards == k``; deterministic datasets need no
+        coordination.  Pass ``jax.process_index()/process_count()``."""
         self.ds = dataset
         self.alphabet = alphabet
         self.batch_size = batch_size
@@ -84,15 +89,18 @@ class BucketedLoader:
         self.shuffle = shuffle
         self.seed = seed
         self.drop_remainder = drop_remainder
+        self._indices = [i for i in range(len(dataset))
+                         if i % num_shards == shard_id]
 
-        durations = [self._duration(i) for i in range(len(dataset))]
+        durations = {i: self._duration(i) for i in self._indices}
         if audio_buckets is None:
-            mx = max(durations) if durations else 16000
-            mn = max(min(durations) if durations else 1600, 1600)
+            vals = list(durations.values())
+            mx = max(vals) if vals else 16000
+            mn = max(min(vals) if vals else 1600, 1600)
             audio_buckets = geometric_buckets(mn, max(mx, mn + 1))
         self.audio_buckets = tuple(audio_buckets)
         self._by_bucket: Dict[int, List[int]] = {}
-        for i, d in enumerate(durations):
+        for i, d in durations.items():
             b = bucket_for(d, self.audio_buckets)
             self._by_bucket.setdefault(b, []).append(i)
         self._epoch = 0

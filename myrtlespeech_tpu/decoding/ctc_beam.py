@@ -54,7 +54,8 @@ def _seg_logsumexp(vals, seg_start):
 
 def _beam_step(carry, logp_t, *, W: int, V: int, U: int, blank: int,
                prune_log: float, word_beta: Optional[float],
-               separator: Optional[int]):
+               separator: Optional[int], lm_alpha: Optional[float] = None,
+               lm_bigram=None):
     """One frame of prefix beam search for a single utterance."""
     prefixes, lengths, words, h1, h2, p_b, p_nb, valid_t = carry
     lp, is_valid = logp_t  # (V,), scalar bool
@@ -85,6 +86,12 @@ def _beam_step(carry, logp_t, *, W: int, V: int, U: int, blank: int,
         completes = (jnp.arange(V)[None, :] == separator) & \
             (last[:, None] != separator) & (lengths[:, None] > 0)
         ext_p = ext_p + jnp.where(completes, word_beta, 0.0)
+    if lm_alpha is not None and lm_bigram is not None:
+        # Character-bigram LM weighting (the reference's alpha term):
+        # score += alpha * log p_lm(c | last); row `V` of the matrix is
+        # the sentence-start distribution (empty prefix).
+        lm_row = lm_bigram[jnp.where(last >= 0, last, V)]  # (W, V)
+        ext_p = ext_p + lm_alpha * lm_row
 
     # Flatten: N = W stay + W*V extensions.
     N = W + W * V
@@ -159,8 +166,14 @@ def ctc_beam_decode(logits, logit_lens, *, blank_index: int = 0,
                     beam_width: int = 16, prune_threshold: float = 1e-3,
                     word_count_beta: Optional[float] = None,
                     separator_index: Optional[int] = None,
+                    lm_alpha: Optional[float] = None,
+                    lm_bigram=None,
                     max_output_len: Optional[int] = None):
     """Prefix-beam-search decode a batch of ``(B, T, V)`` logits.
+
+    ``lm_bigram``: optional ``(V+1, V)`` char-bigram log-prob matrix (row
+    ``V`` = sentence start) scored with weight ``lm_alpha`` — the
+    device-array form of the reference's LM alpha option.
 
     Returns ``(tokens (B, U) int32, token_lens (B,) int32)`` for the best
     prefix per utterance, where ``U = max_output_len or T``.
@@ -175,7 +188,9 @@ def ctc_beam_decode(logits, logit_lens, *, blank_index: int = 0,
     step = functools.partial(
         _beam_step, W=W, V=V, U=U, blank=blank_index,
         prune_log=prune_log, word_beta=word_count_beta,
-        separator=separator_index)
+        separator=separator_index, lm_alpha=lm_alpha,
+        lm_bigram=None if lm_bigram is None
+        else jnp.asarray(lm_bigram, jnp.float32))
 
     def decode_one(lp_bt, n_valid):
         # Initial beam: single empty prefix (p_b = 0), rest dead.

@@ -90,11 +90,36 @@ def frame_signal(x, n_fft: int, hop: int):
     return x[:, idx]  # (B, T, n_fft)
 
 
-def stft_power(x, n_fft: int, hop: int, win_length: int):
-    """Power spectrogram ``(B, S) -> (B, T, n_fft//2+1)`` (fp32)."""
+@functools.lru_cache(maxsize=None)
+def _dft_matrices(n_fft: int):
+    """Real-DFT as two real matrices ``(n_fft, n_fft//2+1)`` (cos, -sin)."""
+    n = np.arange(n_fft)[:, None]
+    k = np.arange(n_fft // 2 + 1)[None, :]
+    ang = 2.0 * math.pi * n * k / n_fft
+    return np.cos(ang).astype(np.float32), (-np.sin(ang)).astype(np.float32)
+
+
+def stft_power(x, n_fft: int, hop: int, win_length: int,
+               use_dft_matmul: Optional[bool] = None):
+    """Power spectrogram ``(B, S) -> (B, T, n_fft//2+1)`` (fp32).
+
+    On TPU the rFFT is computed as two real matmuls against cached DFT
+    matrices — for feature-extraction sizes (n_fft <= 1024) this maps the
+    whole transform onto the MXU and fuses with the windowing, instead of
+    XLA's generic FFT decomposition.  Set ``use_dft_matmul=False`` to force
+    ``jnp.fft.rfft`` (CPU default).
+    """
     frames = frame_signal(x.astype(jnp.float32), n_fft, hop)
     win = jnp.asarray(hann_window(win_length, n_fft))
-    spec = jnp.fft.rfft(frames * win, n=n_fft, axis=-1)
+    windowed = frames * win
+    if use_dft_matmul is None:
+        use_dft_matmul = jax.default_backend() == "tpu"
+    if use_dft_matmul:
+        cos_m, nsin_m = _dft_matrices(n_fft)
+        re = jnp.einsum("btn,nk->btk", windowed, jnp.asarray(cos_m))
+        im = jnp.einsum("btn,nk->btk", windowed, jnp.asarray(nsin_m))
+        return (re ** 2 + im ** 2).astype(jnp.float32)
+    spec = jnp.fft.rfft(windowed, n=n_fft, axis=-1)
     return (spec.real ** 2 + spec.imag ** 2).astype(jnp.float32)
 
 

@@ -35,7 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _lstm_kernel(x_proj_ref, valid_ref, w_hh_ref, b_ref, h0_ref, c0_ref,
+def _lstm_kernel(x_proj_ref, valid_ref, w_hh_ref, h0_ref, c0_ref,
                  ys_ref, cs_ref, hT_ref, cT_ref, h_scr, c_scr):
     t = pl.program_id(0)
     T = pl.num_programs(0)
@@ -50,7 +50,7 @@ def _lstm_kernel(x_proj_ref, valid_ref, w_hh_ref, b_ref, h0_ref, c0_ref,
     c = c_scr[:]
     gates = x_proj_ref[0] + jnp.dot(
         h.astype(jnp.bfloat16), w_hh_ref[:],
-        preferred_element_type=jnp.float32) + b_ref[0]
+        preferred_element_type=jnp.float32)
     i = jax.nn.sigmoid(gates[:, :H])
     f = jax.nn.sigmoid(gates[:, H:2 * H])
     g = jnp.tanh(gates[:, 2 * H:3 * H])
@@ -58,7 +58,10 @@ def _lstm_kernel(x_proj_ref, valid_ref, w_hh_ref, b_ref, h0_ref, c0_ref,
     c_new = f * c + i * g
     h_new = o * jnp.tanh(c_new)
 
-    v = valid_ref[0, 0].astype(jnp.float32)[:, None]  # (B, 1)
+    # Mask arrives pre-broadcast to lane width 128 ((B,1) vectors trip a
+    # Mosaic layout bug at larger B); widen to H with an in-register repeat.
+    v128 = valid_ref[0]  # (B, 128) fp32
+    v = pltpu.repeat(v128, H // 128, axis=1) if H > 128 else v128[:, :H]
     h_out = v * h_new + (1.0 - v) * h
     c_out = v * c_new + (1.0 - v) * c
     h_scr[:] = h_out
@@ -72,8 +75,10 @@ def _lstm_kernel(x_proj_ref, valid_ref, w_hh_ref, b_ref, h0_ref, c0_ref,
         cT_ref[:] = c_out
 
 
-def _lstm_pallas_fwd_call(x_proj, valid, w_hh, b, h0, c0):
-    """Run the forward kernel.  x_proj: (T, B, 4H) fp32; returns
+def _lstm_pallas_fwd_call(x_proj, valid, w_hh, h0, c0):
+    """Run the forward kernel.  x_proj: (T, B, 4H) fp32 with the bias
+    already folded in (a (1, 4H) bias row broadcast inside the kernel trips
+    a Mosaic sublane-broadcast bug at B > 8); returns
     (ys bf16 (T,B,H), cs fp32 (T,B,H), hT, cT)."""
     T, B, H4 = x_proj.shape
     H = H4 // 4
@@ -84,11 +89,9 @@ def _lstm_pallas_fwd_call(x_proj, valid, w_hh, b, h0, c0):
         in_specs=[
             pl.BlockSpec((1, B, H4), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, B, 128), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((H, H4), lambda t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H4), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -115,30 +118,30 @@ def _lstm_pallas_fwd_call(x_proj, valid, w_hh, b, h0, c0):
             pltpu.VMEM((B, H), jnp.float32),
             pltpu.VMEM((B, H), jnp.float32),
         ],
-    )(x_proj, valid.reshape(T, 1, B), w_hh.astype(jnp.bfloat16),
-      b.reshape(1, H4), h0, c0)
+    )(x_proj, jnp.broadcast_to(valid[:, :, None], (T, B, 128)),
+      w_hh.astype(jnp.bfloat16), h0, c0)
     return out
 
 
 @jax.custom_vjp
-def lstm_core(x_proj, valid, w_hh, b, h0, c0):
+def lstm_core(x_proj, valid, w_hh, h0, c0):
     """Fused LSTM recurrence.
 
-    Args: x_proj (T,B,4H) fp32 (input projection + no bias), valid (T,B)
-    float32 1/0 mask, w_hh (H,4H) fp32, b (4H,) fp32, h0/c0 (B,H) fp32.
+    Args: x_proj (T,B,4H) fp32 (input projection with bias folded in),
+    valid (T,B) float32 1/0 mask, w_hh (H,4H) fp32, h0/c0 (B,H) fp32.
     Returns (ys bf16 (T,B,H), hT fp32, cT fp32).
     """
-    ys, _cs, hT, cT = _lstm_pallas_fwd_call(x_proj, valid, w_hh, b, h0, c0)
+    ys, _cs, hT, cT = _lstm_pallas_fwd_call(x_proj, valid, w_hh, h0, c0)
     return ys, hT, cT
 
 
-def _fwd(x_proj, valid, w_hh, b, h0, c0):
-    ys, cs, hT, cT = _lstm_pallas_fwd_call(x_proj, valid, w_hh, b, h0, c0)
-    return (ys, hT, cT), (x_proj, valid, w_hh, b, h0, c0, ys, cs)
+def _fwd(x_proj, valid, w_hh, h0, c0):
+    ys, cs, hT, cT = _lstm_pallas_fwd_call(x_proj, valid, w_hh, h0, c0)
+    return (ys, hT, cT), (x_proj, valid, w_hh, h0, c0, ys, cs)
 
 
 def _bwd(res, grads):
-    x_proj, valid, w_hh, b, h0, c0, ys, cs = res
+    x_proj, valid, w_hh, h0, c0, ys, cs = res
     dys, dhT, dcT = grads
     T, B, H = ys.shape
 
@@ -160,7 +163,7 @@ def _bwd(res, grads):
         # Recompute gates.
         gates = x_t + jnp.dot(hp.astype(jnp.bfloat16),
                               w_hh.astype(jnp.bfloat16),
-                              preferred_element_type=jnp.float32) + b
+                              preferred_element_type=jnp.float32)
         i = jax.nn.sigmoid(gates[:, :H])
         f = jax.nn.sigmoid(gates[:, H:2 * H])
         g = jnp.tanh(gates[:, 2 * H:3 * H])
@@ -193,8 +196,7 @@ def _bwd(res, grads):
         h_prev.reshape(T * B, H).T.astype(jnp.bfloat16),
         dz_all.reshape(T * B, 4 * H).astype(jnp.bfloat16),
         preferred_element_type=jnp.float32)
-    db = jnp.sum(dz_all, axis=(0, 1))
-    return dz_all, None, dw_hh, db, dh0, dc0
+    return dz_all, None, dw_hh, dh0, dc0
 
 
 lstm_core.defvjp(_fwd, _bwd)
@@ -225,10 +227,11 @@ def lstm_scan_pallas(x, lengths, w_ih, w_hh, b, h0c0=None,
                      w_ih.astype(compute_dtype),
                      preferred_element_type=jnp.float32).reshape(T, B, 4 * H)
     valid = (jnp.arange(T)[:, None] < lengths[None, :]).astype(jnp.float32)
-    bias = b if b is not None else jnp.zeros((4 * H,), jnp.float32)
+    if b is not None:
+        x_proj = x_proj + b.astype(jnp.float32)
 
     ys, hT, cT = lstm_core(x_proj, valid, w_hh.astype(jnp.float32),
-                           bias.astype(jnp.float32), h0c0.h, h0c0.c)
+                           h0c0.h, h0c0.c)
     if reverse:
         ys = reverse_sequences(ys, lengths)
     return ys.astype(compute_dtype), LSTMState(h=hT, c=cT)

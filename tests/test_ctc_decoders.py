@@ -110,3 +110,37 @@ def test_edit_distance_and_rates():
     assert wer(["a b c"], ["a b c"]) == 0.0
     assert wer(["a b c d"], ["a b x d"]) == 0.25
     assert cer(["abc"], ["axc"]) == pytest.approx(1 / 3)
+
+
+def test_beam_lm_bias_changes_output():
+    """A strong char-bigram LM must steer the beam toward LM-likely strings."""
+    rng = np.random.default_rng(11)
+    T, V = 6, 4  # blank=0, chars 1..3
+    logits = rng.standard_normal((1, T, V)).astype(np.float32) * 0.1
+    # LM that loves '1 -> 2' transitions and start '1'; hates everything else
+    lm = np.full((V + 1, V), -10.0, np.float32)
+    lm[V, 1] = 0.0   # start with 1
+    lm[1, 2] = 0.0   # 1 -> 2
+    lm[2, 1] = 0.0   # 2 -> 1
+    toks, lens = ctc_beam_decode(
+        jnp.asarray(logits), jnp.asarray([T]), beam_width=16,
+        prune_threshold=0.0, lm_alpha=2.0, lm_bigram=lm)
+    got = list(np.asarray(toks)[0, :int(lens[0])])
+    assert all(g in (1, 2) for g in got)
+    for a, b in zip(got, got[1:]):
+        assert (a, b) in [(1, 2), (2, 1)]
+
+
+def test_beam_word_beta_bonus():
+    """Positive word-count beta with separator encourages separators."""
+    rng = np.random.default_rng(12)
+    T, V = 8, 4  # say index 3 = separator
+    logits = rng.standard_normal((1, T, V)).astype(np.float32) * 0.1
+    t_no, l_no = ctc_beam_decode(jnp.asarray(logits), jnp.asarray([T]),
+                                 beam_width=8, prune_threshold=0.0)
+    t_b, l_b = ctc_beam_decode(jnp.asarray(logits), jnp.asarray([T]),
+                               beam_width=8, prune_threshold=0.0,
+                               word_count_beta=3.0, separator_index=3)
+    seps_no = (np.asarray(t_no)[0, :int(l_no[0])] == 3).sum()
+    seps_b = (np.asarray(t_b)[0, :int(l_b[0])] == 3).sum()
+    assert seps_b >= seps_no

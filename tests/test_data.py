@@ -103,3 +103,15 @@ def test_prefetch_loader_equivalent():
     fetched = [b["wav_lens"].tolist() for b in pre]
     assert direct == fetched
     assert len(pre) == len(base)
+
+
+def test_host_sharding_partitions():
+    ds = FakeSpeechToText(_cfg(dataset_len=20, audio_ms=IntRange(100, 101)))
+    seen = []
+    for shard in range(2):
+        loader = BucketedLoader(ds, Alphabet("abc"), batch_size=2,
+                                shuffle=False, num_shards=2, shard_id=shard,
+                                drop_remainder=False)
+        n = sum(int(b["n_real"]) for b in loader)
+        seen.append(n)
+    assert seen == [10, 10]

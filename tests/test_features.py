@@ -106,3 +106,12 @@ def test_spec_augment_masks_and_preserves():
     np.testing.assert_allclose(o[surviving], np.asarray(feats)[surviving])
     # something was masked with these settings
     assert (o == 0).sum() > 0
+
+
+def test_dft_matmul_matches_fft():
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((2, 1600)).astype(np.float32))
+    a = features.stft_power(x, 256, 80, 200, use_dft_matmul=True)
+    b = features.stft_power(x, 256, 80, 200, use_dft_matmul=False)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
+                               atol=1e-3)

@@ -1,0 +1,106 @@
+"""Decode-path profiler: batched greedy/beam RNN-T + CTC beam on the chip.
+
+Usage: python tools/profile_decode.py [--batch 8] [--seconds 5]
+"""
+
+import argparse
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--seconds", type=float, default=5.0)
+    p.add_argument("--beam", type=int, default=8)
+    args = p.parse_args()
+
+    sys.path.insert(0, ".")
+    from __graft_entry__ import _example_batch
+    from myrtlespeech_tpu.builders.build import (build_task,
+                                                 build_rnnt_decode_helpers)
+    from myrtlespeech_tpu.config import schema as S
+    from myrtlespeech_tpu.decoding.ctc_beam import ctc_beam_decode
+    from myrtlespeech_tpu.decoding.rnnt_beam import rnnt_beam_decode
+    from myrtlespeech_tpu.decoding.rnnt_greedy import rnnt_greedy_decode
+    from myrtlespeech_tpu.models.rnn_t import RNNT
+    from myrtlespeech_tpu.run.train import init_state
+
+    cfg_mod = __import__("configs.rnn_t_en", fromlist=["task_config"])
+    B = args.batch
+    cfg = S.replace(
+        cfg_mod.task_config,
+        train_dataset=S.FakeSpeechToTextConfig(dataset_len=8),
+        eval_dataset=None,
+        train_config=S.replace(cfg_mod.task_config.train_config,
+                               batch_size=B))
+    task = build_task(cfg, steps_per_epoch=10)
+    samples = int(16000 * args.seconds)
+    batch = _example_batch(B, samples=samples, label_len=64)
+    state = init_state(task, jax.random.PRNGKey(0), batch)
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+
+    @jax.jit
+    def encode(wav, wav_lens):
+        feats, flens = task.preprocess(jax.random.PRNGKey(0), wav, wav_lens,
+                                       False)
+        return task.model.apply(variables, feats, flens, method=RNNT.encode)
+
+    f, f_lens = encode(jnp.asarray(batch["wav"]),
+                       jnp.asarray(batch["wav_lens"]))
+    f = jax.block_until_ready(f)
+    audio_s = B * args.seconds
+
+    make, init_state_fn = build_rnnt_decode_helpers(task.model,
+                                                    cfg.speech_to_text.model)
+    predict_step, joint_step = make(variables)
+
+    greedy = jax.jit(lambda f, fl: rnnt_greedy_decode(
+        f, fl, predict_step, joint_step, init_state_fn(B), blank_index=0,
+        max_symbols_per_step=8, max_output_len=128))
+    toks, lens = greedy(f, f_lens)
+    _ = int(jnp.sum(lens))
+    t0 = time.perf_counter()
+    toks, lens = greedy(f, f_lens)
+    _ = int(jnp.sum(lens))
+    dt = time.perf_counter() - t0
+    print(f"rnnt greedy B={B}: {dt*1000:.1f} ms -> {audio_s/dt:.0f} "
+          f"audio-s/s", flush=True)
+
+    beam = jax.jit(lambda f, fl: rnnt_beam_decode(
+        f, fl, predict_step, joint_step, init_state_fn,
+        blank_index=0, beam_width=args.beam, max_symbols_per_step=4,
+        max_output_len=128))
+    toks, lens = beam(f, f_lens)
+    _ = int(jnp.sum(lens))
+    t0 = time.perf_counter()
+    toks, lens = beam(f, f_lens)
+    _ = int(jnp.sum(lens))
+    dt = time.perf_counter() - t0
+    print(f"rnnt beam W={args.beam} B={B}: {dt*1000:.1f} ms -> "
+          f"{audio_s/dt:.0f} audio-s/s", flush=True)
+
+    # CTC beam on synthetic logits of matching shape.
+    rng = np.random.default_rng(0)
+    T = int(f.shape[1])
+    logits = jnp.asarray(rng.standard_normal((B, T, 29)).astype(np.float32))
+    cbeam = jax.jit(lambda lg, fl: ctc_beam_decode(
+        lg, fl, blank_index=0, beam_width=16))
+    toks, lens = cbeam(logits, f_lens)
+    _ = int(jnp.sum(lens))
+    t0 = time.perf_counter()
+    toks, lens = cbeam(logits, f_lens)
+    _ = int(jnp.sum(lens))
+    dt = time.perf_counter() - t0
+    print(f"ctc beam W=16 B={B}: {dt*1000:.1f} ms -> {audio_s/dt:.0f} "
+          f"audio-s/s", flush=True)
+
+
+if __name__ == "__main__":
+    main()
