@@ -24,6 +24,12 @@ BASELINE_AUDIO_SEC_PER_SEC = 80.0  # estimated V100 reference anchor
 def main() -> None:
     import jax
 
+    # Persistent compile cache: the B=32 train graph (with Pallas kernels)
+    # takes minutes to compile over the sandbox's remote-compile tunnel;
+    # cache it so reruns measure the chip, not the compiler.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/myrtle_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from __graft_entry__ import _example_batch, _tiny_rnnt_task
     from myrtlespeech_tpu.builders.build import build_task
     from myrtlespeech_tpu.config import schema as S

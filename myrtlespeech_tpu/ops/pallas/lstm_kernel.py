@@ -140,6 +140,106 @@ def _fwd(x_proj, valid, w_hh, h0, c0):
     return (ys, hT, cT), (x_proj, valid, w_hh, h0, c0, ys, cs)
 
 
+def _bwd_kernel(x_proj_ref, valid_ref, w_hh_ref, hprev_ref, cprev_ref,
+                cs_ref, dys_ref, dhT_ref, dcT_ref, dz_ref, dh0_ref, dc0_ref,
+                dh_scr, dc_scr):
+    """One reverse-time BPTT step; dh/dc carried in VMEM scratch.
+
+    Fuses the gate recomputation matmul, the ~15 elementwise ops and the
+    dh back-propagation matmul (via dot_general on the single resident
+    w_hh copy — a second transposed copy would not fit VMEM at H=1024).
+    """
+    r = pl.program_id(0)  # processes row t = T-1-r via index maps
+    T = pl.num_programs(0)
+    H = dh_scr.shape[-1]
+
+    @pl.when(r == 0)
+    def _():
+        dh_scr[:] = dhT_ref[:]
+        dc_scr[:] = dcT_ref[:]
+
+    x_t = x_proj_ref[0]
+    hp = hprev_ref[0]
+    cp = cprev_ref[0]
+    c_t = cs_ref[0]
+    dy_t = dys_ref[0].astype(jnp.float32)
+    v128 = valid_ref[0]  # (B, 128)
+    v = pltpu.repeat(v128, H // 128, axis=1) if H > 128 else v128[:, :H]
+    v4 = pltpu.repeat(v128, (4 * H) // 128, axis=1) if 4 * H > 128 \
+        else v128[:, :4 * H]
+
+    gates = x_t + jnp.dot(hp.astype(jnp.bfloat16), w_hh_ref[:],
+                          preferred_element_type=jnp.float32)
+    i = jax.nn.sigmoid(gates[:, :H])
+    f = jax.nn.sigmoid(gates[:, H:2 * H])
+    g = jnp.tanh(gates[:, 2 * H:3 * H])
+    o = jax.nn.sigmoid(gates[:, 3 * H:])
+    tc = jnp.tanh(c_t)
+
+    dh = dh_scr[:]
+    dc = dc_scr[:]
+    dh_total = dy_t + dh
+    do = dh_total * tc
+    dc_total = dc + dh_total * o * (1.0 - tc * tc)
+    di = dc_total * g
+    dg = dc_total * i
+    df = dc_total * cp
+    dz = jnp.concatenate([
+        di * i * (1.0 - i), df * f * (1.0 - f),
+        dg * (1.0 - g * g), do * o * (1.0 - o)], axis=1) * v4
+    dz_ref[0] = dz
+    # dh_prev = dz @ w_hh^T: contract both operands' last dims.
+    dh_prev = jax.lax.dot_general(
+        dz.astype(jnp.bfloat16), w_hh_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dh_scr[:] = dh_prev + (1.0 - v) * dh
+    dc_scr[:] = dc_total * f * v + (1.0 - v) * dc
+
+    @pl.when(r == T - 1)
+    def _():
+        dh0_ref[:] = dh_scr[:]
+        dc0_ref[:] = dc_scr[:]
+
+
+def _bwd_pallas_call(x_proj, valid, w_hh, h_prev, c_prev, cs, dys, dhT,
+                     dcT):
+    T, B, H4 = x_proj.shape
+    H = H4 // 4
+    rev = lambda t: (T - 1 - t, 0, 0)
+    rev2 = lambda t: (0, 0)
+    return pl.pallas_call(
+        _bwd_kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B, H4), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, 128), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H4), rev2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), rev2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), rev2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B, H4), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), rev2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, H), rev2, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, H4), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, H), jnp.float32),
+            pltpu.VMEM((B, H), jnp.float32),
+        ],
+    )(x_proj, jnp.broadcast_to(valid[:, :, None], (T, B, 128)),
+      w_hh.astype(jnp.bfloat16), h_prev, c_prev, cs, dys, dhT, dcT)
+
+
 def _bwd(res, grads):
     x_proj, valid, w_hh, h0, c0, ys, cs = res
     dys, dhT, dcT = grads
@@ -154,42 +254,9 @@ def _bwd(res, grads):
     h_prev = jnp.concatenate([h0[None], ys[:-1].astype(jnp.float32)], 0)
     c_prev = jnp.concatenate([c0[None], cs[:-1]], 0)
 
-    w_hh_t = w_hh.astype(jnp.bfloat16).T  # (4H, H)
-
-    def step(carry, inp):
-        dh, dc = carry
-        x_t, v_t, hp, cp, c_t, dy_t = inp
-        v = v_t[:, None]
-        # Recompute gates.
-        gates = x_t + jnp.dot(hp.astype(jnp.bfloat16),
-                              w_hh.astype(jnp.bfloat16),
-                              preferred_element_type=jnp.float32)
-        i = jax.nn.sigmoid(gates[:, :H])
-        f = jax.nn.sigmoid(gates[:, H:2 * H])
-        g = jnp.tanh(gates[:, 2 * H:3 * H])
-        o = jax.nn.sigmoid(gates[:, 3 * H:])
-        tc = jnp.tanh(c_t)
-
-        dh_total = dy_t.astype(jnp.float32) + dh
-        do = dh_total * tc
-        dc_total = dc + dh_total * o * (1.0 - tc * tc)
-        di = dc_total * g
-        dg = dc_total * i
-        df = dc_total * cp
-        dz = jnp.concatenate([
-            di * i * (1.0 - i), df * f * (1.0 - f),
-            dg * (1.0 - g * g), do * o * (1.0 - o)], axis=1)
-        dz = dz * v  # padded steps contribute nothing
-        dh_prev = jnp.dot(dz.astype(jnp.bfloat16), w_hh_t,
-                          preferred_element_type=jnp.float32)
-        # Frozen (invalid) steps pass gradients straight through.
-        dh_prev = dh_prev + (1.0 - v) * dh
-        dc_prev = dc_total * f * v + (1.0 - v) * dc
-        return (dh_prev, dc_prev), dz
-
-    (dh0, dc0), dz_all = jax.lax.scan(
-        step, (dhT, dcT),
-        (x_proj, valid, h_prev, c_prev, cs, dys), reverse=True)
+    dz_all, dh0, dc0 = _bwd_pallas_call(
+        x_proj, valid, w_hh, h_prev, c_prev, cs,
+        dys.astype(jnp.float32), dhT, dcT)
 
     # Weight/bias grads as single large matmuls (hoisted like the forward).
     dw_hh = jnp.dot(

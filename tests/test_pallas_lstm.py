@@ -62,15 +62,15 @@ def test_gradients_match_lax():
     x, lens, w_ih, w_hh, b = _case(T=5, seed=2)
 
     def loss_pallas(w_hh_, x_):
-        with pltpu.force_tpu_interpret_mode():
-            ys, st = lstm_scan_pallas(x_, lens, w_ih, w_hh_, b)
+        ys, st = lstm_scan_pallas(x_, lens, w_ih, w_hh_, b)
         return jnp.sum(ys.astype(jnp.float32) ** 2) + jnp.sum(st.h ** 2)
 
     def loss_lax(w_hh_, x_):
         ys, st = rnn_ops.lstm_scan(x_, lens, w_ih, w_hh_, b)
         return jnp.sum(ys.astype(jnp.float32) ** 2) + jnp.sum(st.h ** 2)
 
-    gp = jax.grad(loss_pallas, argnums=(0, 1))(w_hh, x)
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss_pallas, argnums=(0, 1))(w_hh, x)
     gl = jax.grad(loss_lax, argnums=(0, 1))(w_hh, x)
     for a, b_ in zip(gp, gl):
         denom = np.abs(np.asarray(b_)).max() + 1e-6
