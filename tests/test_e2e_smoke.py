@@ -171,3 +171,34 @@ def test_cli_smoke(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "train_mean_loss" in out
+
+
+def test_fit_with_ctc_beam_eval():
+    """Beam search decoder inside the jitted eval step."""
+    cfg = _tiny_ctc_cfg(epochs=1)
+    cfg = S.replace(
+        cfg,
+        speech_to_text=S.replace(
+            cfg.speech_to_text,
+            post_process=S.CTCBeamDecoderConfig(blank_index=0, beam_width=4,
+                                                prune_threshold=1e-3)))
+    task = build_task(cfg, steps_per_epoch=4)
+    handler = fit(task, callbacks=[C.ReportMeanBatchLoss(),
+                                   C.ReportDecoderWER(task.alphabet)])
+    reports = handler.state["reports"]
+    assert "wer" in reports and np.isfinite(reports["wer"])
+
+
+def test_fit_rnnt_beam_eval():
+    """RNN-T beam decoder inside the jitted eval step."""
+    cfg = _tiny_rnnt_cfg()
+    cfg = S.replace(
+        cfg,
+        speech_to_text=S.replace(
+            cfg.speech_to_text,
+            post_process=S.RNNTBeamDecoderConfig(
+                blank_index=0, beam_width=4, max_symbols_per_step=2,
+                length_norm=True)))
+    task = build_task(cfg, steps_per_epoch=2)
+    handler = fit(task, callbacks=[C.ReportDecoderWER(task.alphabet)])
+    assert "wer" in handler.state["reports"]
