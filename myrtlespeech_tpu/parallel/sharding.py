@@ -133,8 +133,6 @@ def make_sharded_train_step(task, mesh: Mesh, state, example_batch):
     Returns ``(train_step, placed_state, place_batch)`` where
     ``place_batch`` device_puts host batches with data-parallel sharding.
     """
-    from myrtlespeech_tpu.run.train import make_train_step
-
     from myrtlespeech_tpu.run.train import train_step_body
 
     st_sh = state_shardings(mesh, state)
@@ -163,33 +161,11 @@ def make_sharded_eval_step(task, mesh: Mesh, state, example_batch,
     axis (the collective hypothesis exchange of the north-star, inserted
     automatically from the sharding annotations).
     """
+    from myrtlespeech_tpu.run.train import eval_step_body
+
     st_sh = state_shardings(mesh, state)
     b_sh = batch_shardings(mesh, example_batch)
-    from myrtlespeech_tpu.run import train as T
-
-    def eval_body(state, batch):
-        rng = jax.random.PRNGKey(0)
-        loss, (logits, out_lens, _) = T._forward(
-            task, state.params, state.batch_stats, rng, batch, False)
-        metrics = {"loss": loss}
-        if decode:
-            variables = {"params": state.params}
-            if state.batch_stats:
-                variables["batch_stats"] = state.batch_stats
-            if task.transducer:
-                from myrtlespeech_tpu.models.rnn_t import RNNT
-                rng2, feat_rng = jax.random.split(rng)
-                feats, flens = task.preprocess(
-                    feat_rng, batch["wav"], batch["wav_lens"], False)
-                f, f_lens = task.model.apply(
-                    variables, feats, flens, method=RNNT.encode)
-                toks, tlens = task.decoder(variables, f, f_lens,
-                                           max_output_len=max_output_len)
-            else:
-                toks, tlens = task.decoder(logits, out_lens)
-            metrics["decoded_tokens"] = toks
-            metrics["decoded_lens"] = tlens
-        return metrics
+    eval_body = eval_step_body(task, decode, max_output_len)
 
     eval_step = jax.jit(eval_body, in_shardings=(st_sh, b_sh),
                         out_shardings=None)

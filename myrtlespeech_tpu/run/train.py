@@ -120,34 +120,52 @@ def make_train_step(task: Task) -> Callable:
     return jax.jit(train_step_body(task), donate_argnums=(0,))
 
 
-def make_eval_step(task: Task, decode: bool = True,
+def eval_step_body(task: Task, decode: bool = True,
                    max_output_len: int = 200) -> Callable:
-    """Build the jitted eval step: loss + on-device decoding."""
+    """The raw (un-jitted) eval step: loss + on-device decoding; shared by
+    the single-chip jit and the sharded path (parallel/sharding.py)."""
 
     def eval_step(state: TrainState, batch):
         rng = jax.random.PRNGKey(0)  # eval is deterministic
-        loss, (logits, out_lens, _) = _forward(
-            task, state.params, state.batch_stats, rng, batch, False)
-        metrics = {"loss": loss}
-        if decode:
-            variables = {"params": state.params}
-            if state.batch_stats:
-                variables["batch_stats"] = state.batch_stats
-            if task.transducer:
-                rng2, feat_rng = jax.random.split(rng)
-                feats, flens = task.preprocess(
-                    feat_rng, batch["wav"], batch["wav_lens"], False)
-                f, f_lens = task.model.apply(
-                    variables, feats, flens, method=RNNT.encode)
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        if task.transducer:
+            # Run the encoder ONCE and reuse it for both the loss (via the
+            # prediction/joint nets) and the decoder.
+            rng, feat_rng = jax.random.split(rng)
+            feats, flens = task.preprocess(
+                feat_rng, batch["wav"], batch["wav_lens"], False)
+            f, f_lens = task.model.apply(
+                variables, feats, flens, method=RNNT.encode)
+            g = task.model.apply(variables, batch["labels"],
+                                 batch["label_lens"], method=RNNT.predict)
+            logits = task.model.apply(variables, f, g, method=RNNT.joint)
+            loss = task.loss_fn(logits, f_lens, batch["labels"],
+                                batch["label_lens"])
+            metrics = {"loss": loss}
+            if decode:
                 toks, tlens = task.decoder(variables, f, f_lens,
                                            max_output_len=max_output_len)
-            else:
+                metrics["decoded_tokens"] = toks
+                metrics["decoded_lens"] = tlens
+        else:
+            loss, (logits, out_lens, _) = _forward(
+                task, state.params, state.batch_stats, rng, batch, False)
+            metrics = {"loss": loss}
+            if decode:
                 toks, tlens = task.decoder(logits, out_lens)
-            metrics["decoded_tokens"] = toks
-            metrics["decoded_lens"] = tlens
+                metrics["decoded_tokens"] = toks
+                metrics["decoded_lens"] = tlens
         return metrics
 
-    return jax.jit(eval_step)
+    return eval_step
+
+
+def make_eval_step(task: Task, decode: bool = True,
+                   max_output_len: int = 200) -> Callable:
+    """Build the jitted eval step."""
+    return jax.jit(eval_step_body(task, decode, max_output_len))
 
 
 def fit(task: Task, epochs: Optional[int] = None, callbacks=(),
