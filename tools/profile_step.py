@@ -25,6 +25,8 @@ def main():
     args = p.parse_args()
 
     sys.path.insert(0, ".")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/myrtle_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from __graft_entry__ import _example_batch
     from myrtlespeech_tpu.builders.build import build_task
     from myrtlespeech_tpu.config import schema as S
