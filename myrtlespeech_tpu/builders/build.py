@@ -254,11 +254,18 @@ def build_decoder(cfg: S.SpeechToTextConfig, model) -> Callable:
         return functools.partial(ctc_greedy_decode,
                                  blank_index=pc.blank_index)
     if isinstance(pc, S.CTCBeamDecoderConfig):
+        lm_bigram = None
+        if pc.lm_bigram_path is not None:
+            from myrtlespeech_tpu.decoding.lm import load_bigram_lm
+            lm_bigram = load_bigram_lm(pc.lm_bigram_path,
+                                       vocab_size=vocab_size(cfg))
         return functools.partial(
             ctc_beam_decode, blank_index=pc.blank_index,
             beam_width=pc.beam_width, prune_threshold=pc.prune_threshold,
             word_count_beta=pc.word_count_beta,
-            separator_index=pc.separator_index)
+            separator_index=pc.separator_index,
+            lm_alpha=pc.lm_alpha if lm_bigram is not None else None,
+            lm_bigram=lm_bigram)
     make, init_state_fn = build_rnnt_decode_helpers(model, cfg.model)
     if isinstance(pc, S.RNNTGreedyDecoderConfig):
         def greedy(variables, f, f_lens, max_output_len: int = 200):

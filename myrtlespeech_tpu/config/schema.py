@@ -325,6 +325,11 @@ class CTCBeamDecoderConfig:
     lm_alpha: Optional[float] = None
     word_count_beta: Optional[float] = None
     separator_index: Optional[int] = None
+    # Path to a ``(V+1, V)`` char-bigram log-prob matrix (.npy) scored with
+    # weight ``lm_alpha`` inside the device beam search (decoding/lm.py).
+    # The reference's external host-side LM binary becomes a dense on-device
+    # matrix here; estimate one with tools/train_char_lm.py.
+    lm_bigram_path: Optional[str] = None
 
 
 @dataclass(frozen=True)

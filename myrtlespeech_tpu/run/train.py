@@ -185,6 +185,11 @@ def fit(task: Task, epochs: Optional[int] = None, callbacks=(),
     seed = seed if seed is not None else tc.seed
     lk = dict(loader_kwargs or {})
     prefetch = lk.pop("prefetch", 2)
+    # Multi-host input pipeline (SURVEY.md §2.10 N6): each host reads its
+    # own shard of the dataset by default; explicit shard kwargs win.
+    if jax.process_count() > 1:
+        lk.setdefault("shard_id", jax.process_index())
+        lk.setdefault("num_shards", jax.process_count())
     train_loader = BucketedLoader(
         task.train_dataset, task.alphabet, batch_size,
         shuffle=tc.shuffle_batches_before_every_epoch, seed=seed, **lk)
@@ -194,6 +199,9 @@ def fit(task: Task, epochs: Optional[int] = None, callbacks=(),
     if task.eval_dataset is not None:
         ek = dict(eval_loader_kwargs or lk)
         ek.pop("prefetch", None)
+        if jax.process_count() > 1:
+            ek.setdefault("shard_id", jax.process_index())
+            ek.setdefault("num_shards", jax.process_count())
         eval_loader = BucketedLoader(task.eval_dataset, task.alphabet,
                                      batch_size, shuffle=False, **ek)
         if prefetch:
