@@ -298,7 +298,9 @@ def build_decoder(cfg: S.SpeechToTextConfig, model) -> Callable:
 def build_lr_schedule(cfg: S.TrainConfig, steps_per_epoch: int):
     sc = cfg.lr_scheduler
     base = _base_lr(cfg.optimizer)
-    if isinstance(sc, S.ConstantLRConfig):
+    if sc is None or isinstance(sc, S.ConstantLRConfig):
+        # No scheduler configured = constant LR (the reference's optional
+        # lr_scheduler oneof left unset).
         sched = optax.constant_schedule(base)
     elif isinstance(sc, S.StepLRConfig):
         sched = optax.exponential_decay(

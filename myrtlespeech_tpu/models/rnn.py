@@ -50,7 +50,8 @@ class RNN(nn.Module):
     def _bias_init(self, key, shape, dtype=jnp.float32):
         b = jnp.zeros(shape, dtype)
         c = self.cfg
-        if c.rnn_type is RNNType.LSTM and c.forget_gate_bias is not None:
+        if c.rnn_type in (RNNType.LSTM, RNNType.HARD_LSTM) \
+                and c.forget_gate_bias is not None:
             H = shape[0] // 4
             b = b.at[H:2 * H].set(c.forget_gate_bias)
         return b

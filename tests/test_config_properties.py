@@ -1,0 +1,281 @@
+"""Hypothesis property tests for the config layer (the reference's signature
+test style, SURVEY.md §4: ``tests/protos/`` strategies generating random
+*valid* config messages + ``tests/builders/`` asserting ``build`` reflects
+every field).
+
+Strategies draw small random-but-valid config trees; properties check
+(a) serde roundtrip identity, (b) builders accept every generated config,
+(c) built models reflect config fields (output vocab, RNN width/direction,
+seq-len preservation).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from myrtlespeech_tpu.builders import build as B
+from myrtlespeech_tpu.config import schema as S
+from myrtlespeech_tpu.config.serde import from_dict, to_dict
+
+# Small sizes: these build + run real models on CPU.
+_SETTINGS = dict(max_examples=10, deadline=None,
+                 suppress_health_check=[HealthCheck.too_slow,
+                                        HealthCheck.data_too_large])
+
+
+# ---------------------------------------------------------------------------
+# Strategies (mirror tests/protos/*.py strategy helpers in the reference)
+# ---------------------------------------------------------------------------
+
+activations = st.sampled_from(list(S.Activation))
+reductions = st.sampled_from(list(S.Reduction))
+
+
+@st.composite
+def rnn_configs(draw, *, bidirectional=None, types=(S.RNNType.LSTM,
+                                                    S.RNNType.GRU,
+                                                    S.RNNType.BASIC_RNN,
+                                                    S.RNNType.HARD_LSTM)):
+    t = draw(st.sampled_from(list(types)))
+    bidi = draw(st.booleans()) if bidirectional is None else bidirectional
+    fgb = draw(st.one_of(st.none(), st.floats(0.0, 2.0)))
+    if t not in (S.RNNType.LSTM, S.RNNType.HARD_LSTM):
+        fgb = None
+    return S.RNNConfig(
+        rnn_type=t,
+        hidden_size=draw(st.sampled_from([4, 8, 12])),
+        num_layers=draw(st.integers(1, 2)),
+        bias=draw(st.booleans()),
+        bidirectional=bidi,
+        forget_gate_bias=fgb,
+        batch_norm=draw(st.booleans()),
+        dropout=draw(st.sampled_from([0.0, 0.1])))
+
+
+@st.composite
+def fc_configs(draw):
+    n = draw(st.integers(0, 2))
+    return S.FullyConnectedConfig(
+        num_hidden_layers=n,
+        hidden_size=draw(st.sampled_from([4, 8])) if n else None,
+        activation=draw(activations),
+        dropout=draw(st.sampled_from([0.0, 0.2])))
+
+
+@st.composite
+def conv2d_configs(draw):
+    return S.Conv2dConfig(
+        out_channels=draw(st.sampled_from([2, 4])),
+        kernel_time=draw(st.sampled_from([3, 5])),
+        kernel_feature=draw(st.sampled_from([3, 5])),
+        stride_time=draw(st.integers(1, 2)),
+        stride_feature=draw(st.integers(1, 2)),
+        padding=draw(st.sampled_from(list(S.PaddingMode))),
+        bias=draw(st.booleans()),
+        activation=draw(activations),
+        batch_norm=draw(st.booleans()))
+
+
+@st.composite
+def ds2_configs(draw):
+    bidi = draw(st.booleans())
+    return S.DeepSpeech2Config(
+        conv_block=tuple(draw(st.lists(conv2d_configs(), min_size=1,
+                                       max_size=2))),
+        rnn=draw(rnn_configs(bidirectional=bidi)),
+        lookahead=None if bidi else draw(
+            st.one_of(st.none(),
+                      st.builds(S.LookaheadConfig,
+                                context=st.sampled_from([2, 4])))),
+        fully_connected=draw(fc_configs()))
+
+
+@st.composite
+def rnnt_configs(draw):
+    return S.RNNTConfig(
+        encoder=S.RNNTEncoderConfig(
+            rnn1=draw(rnn_configs(bidirectional=False,
+                                  types=(S.RNNType.LSTM,))),
+            time_reduction_factor=draw(st.sampled_from([1, 2])),
+            rnn2=draw(st.one_of(
+                st.none(),
+                rnn_configs(bidirectional=False, types=(S.RNNType.LSTM,))))),
+        prediction=S.RNNTPredictNetConfig(
+            embedding_dim=draw(st.sampled_from([4, 8])),
+            rnn=draw(rnn_configs(bidirectional=False,
+                                 types=(S.RNNType.LSTM,)))),
+        joint=S.RNNTJointNetConfig(activation=draw(activations),
+                                   fc=draw(fc_configs())))
+
+
+@st.composite
+def stt_configs(draw):
+    """A consistent (model, loss, decoder) triple — valid by construction."""
+    alphabet = "_ abc"
+    family = draw(st.sampled_from(["ctc", "rnnt"]))
+    if family == "ctc":
+        model = draw(st.one_of(
+            st.builds(S.DeepSpeech1Config,
+                      n_hidden=st.sampled_from([8, 16]),
+                      relu_clip=st.sampled_from([5.0, 20.0])),
+            ds2_configs()))
+        loss = S.CTCLossConfig(blank_index=0, reduction=draw(reductions))
+        post = draw(st.one_of(
+            st.builds(S.CTCGreedyDecoderConfig, blank_index=st.just(0)),
+            st.builds(S.CTCBeamDecoderConfig, blank_index=st.just(0),
+                      beam_width=st.sampled_from([2, 4]))))
+    else:
+        model = draw(rnnt_configs())
+        loss = S.RNNTLossConfig(blank_index=0, reduction=draw(reductions))
+        post = draw(st.one_of(
+            st.builds(S.RNNTGreedyDecoderConfig, blank_index=st.just(0),
+                      max_symbols_per_step=st.sampled_from([1, 4])),
+            st.builds(S.RNNTBeamDecoderConfig, blank_index=st.just(0),
+                      beam_width=st.sampled_from([2, 4]),
+                      length_norm=st.booleans())))
+    steps = (S.PreProcessStepConfig(S.MFCCConfig(
+        n_mels=8, log_mel_only=draw(st.booleans()))),)
+    if draw(st.booleans()):
+        steps = steps + (S.PreProcessStepConfig(S.StandardizeConfig()),)
+    return S.SpeechToTextConfig(alphabet=alphabet, pre_process_steps=steps,
+                                model=model, loss=loss, post_process=post)
+
+
+@st.composite
+def task_configs(draw):
+    opt = draw(st.one_of(
+        st.builds(S.SGDConfig, learning_rate=st.sampled_from([0.1, 0.01]),
+                  momentum=st.sampled_from([0.0, 0.9])),
+        st.builds(S.AdamConfig, learning_rate=st.just(1e-3))))
+    sched = draw(st.one_of(
+        st.none(),
+        st.builds(S.ConstantLRConfig),
+        st.builds(S.StepLRConfig, step_size_epochs=st.just(1),
+                  gamma=st.just(0.5)),
+        st.builds(S.ExponentialLRConfig, gamma=st.just(0.9)),
+        st.builds(S.CosineAnnealingLRConfig, t_max_epochs=st.just(2))))
+    return S.TaskConfig(
+        speech_to_text=draw(stt_configs()),
+        train_config=S.TrainConfig(
+            batch_size=draw(st.sampled_from([1, 2])),
+            epochs=draw(st.integers(1, 3)),
+            optimizer=opt, lr_scheduler=sched,
+            grad_clip_norm=draw(st.one_of(st.none(), st.just(1.0)))),
+        train_dataset=S.FakeSpeechToTextConfig(
+            dataset_len=2, audio_ms=S.IntRange(50, 80),
+            label_symbols="abc ", label_len=S.IntRange(1, 3)),
+        eval_dataset=draw(st.one_of(
+            st.none(),
+            st.builds(S.FakeSpeechToTextConfig,
+                      dataset_len=st.just(2),
+                      audio_ms=st.just(S.IntRange(50, 80)),
+                      label_symbols=st.just("abc "),
+                      label_len=st.just(S.IntRange(1, 3))))))
+
+
+# ---------------------------------------------------------------------------
+# Properties
+# ---------------------------------------------------------------------------
+
+
+@given(task_configs())
+@settings(max_examples=25, deadline=None)
+def test_serde_roundtrip(cfg):
+    """to_dict -> from_dict is the identity on arbitrary valid configs."""
+    assert from_dict(to_dict(cfg)) == cfg
+
+
+@given(task_configs())
+@settings(**_SETTINGS)
+def test_build_task_accepts_generated(cfg):
+    """Every generated config builds into a complete Task bundle."""
+    task = B.build_task(cfg, steps_per_epoch=2)
+    assert task.model is not None and callable(task.loss_fn)
+    assert callable(task.decoder) and callable(task.preprocess)
+    assert len(task.train_dataset) == 2
+    assert task.transducer == isinstance(cfg.speech_to_text.model,
+                                         S.RNNTConfig)
+
+
+@given(rnn_configs())
+@settings(**_SETTINGS)
+def test_rnn_reflects_config(cfg):
+    """RNN module output width/lens follow the drawn config."""
+    from myrtlespeech_tpu.models.rnn import RNN
+
+    B_, T, F = 2, 6, 4
+    x = jnp.asarray(np.random.default_rng(0)
+                    .standard_normal((B_, T, F)).astype(np.float32))
+    lens = jnp.asarray([T, T - 2], jnp.int32)
+    m = RNN(cfg, dtype=jnp.float32)
+    vars_ = m.init(jax.random.PRNGKey(0), x, lens)
+    y, out_lens, states = m.apply(vars_, x, lens)
+    dirs = 2 if cfg.bidirectional else 1
+    assert y.shape == (B_, T, cfg.hidden_size * dirs)
+    np.testing.assert_array_equal(np.asarray(out_lens), np.asarray(lens))
+    assert len(states) == cfg.num_layers
+    if cfg.forget_gate_bias is not None and cfg.bias and \
+            cfg.rnn_type in (S.RNNType.LSTM, S.RNNType.HARD_LSTM):
+        b = np.asarray(vars_["params"]["l0_fwd_b"])
+        H = cfg.hidden_size
+        np.testing.assert_allclose(b[H:2 * H], cfg.forget_gate_bias)
+
+
+@given(stt_configs())
+@settings(**_SETTINGS)
+def test_model_output_matches_vocab(cfg):
+    """Forward logits' last dim equals vocab_size; lens stay in bounds."""
+    model = B.build_model(cfg, dtype=jnp.float32)
+    V = B.vocab_size(cfg)
+    rng = np.random.default_rng(1)
+    B_, T, F = 2, 12, 8
+    x = jnp.asarray(rng.standard_normal((B_, T, F)).astype(np.float32))
+    lens = jnp.asarray([T, T // 2], jnp.int32)
+    if isinstance(cfg.model, S.RNNTConfig):
+        labels = jnp.asarray([[1, 2], [1, 0]], jnp.int32)
+        label_lens = jnp.asarray([2, 1], jnp.int32)
+        vars_ = model.init(jax.random.PRNGKey(0), x, lens, labels,
+                           label_lens, False)
+        out = model.apply(vars_, x, lens, labels, label_lens, False,
+                          mutable=["batch_stats"])[0]
+        logits, out_lens = out[0], out[1]
+        assert logits.shape[0] == B_ and logits.shape[-1] == V
+        assert logits.shape[2] == labels.shape[1] + 1  # U+1
+    else:
+        vars_ = model.init(jax.random.PRNGKey(0), x, lens, False)
+        logits, out_lens = model.apply(vars_, x, lens, False,
+                                       mutable=["batch_stats"])[0]
+        assert logits.shape[0] == B_ and logits.shape[-1] == V
+    ol = np.asarray(out_lens)
+    assert (ol >= 0).all() and (ol <= T).all()
+    assert np.isfinite(np.asarray(logits, np.float32)).all()
+
+
+@given(st.integers(0, 3), st.integers(1, 4), reductions)
+@settings(max_examples=20, deadline=None)
+def test_loss_configs_build(blank, width, red):
+    """Loss builders accept the full (blank_index, reduction) surface."""
+    alphabet = "abcd"
+    cfg = S.SpeechToTextConfig(
+        alphabet=alphabet,
+        model=S.DeepSpeech1Config(n_hidden=8),
+        loss=S.CTCLossConfig(blank_index=blank, reduction=red),
+        post_process=S.CTCGreedyDecoderConfig(blank_index=blank))
+    loss_fn = B.build_loss(cfg)
+    V = B.vocab_size(cfg)
+    rng = np.random.default_rng(2)
+    logits = jnp.asarray(rng.standard_normal((1, 6, V)).astype(np.float32))
+    # labels avoid the blank index
+    lab = [i for i in range(V) if i != blank][:2]
+    out = loss_fn(logits, jnp.asarray([6]), jnp.asarray([lab]),
+                  jnp.asarray([2]))
+    val = np.asarray(out, np.float32)
+    assert np.isfinite(val).all()
+    if red is S.Reduction.NONE:
+        assert val.shape == (1,)
+    else:
+        assert val.shape == ()
