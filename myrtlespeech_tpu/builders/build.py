@@ -198,6 +198,39 @@ def build_loss(cfg: S.SpeechToTextConfig) -> Callable:
     raise ValueError(f"unknown loss config {type(lc)}")
 
 
+def build_fused_transducer_loss(cfg: S.SpeechToTextConfig, model
+                                ) -> Optional[Callable]:
+    """Joint+loss fusion for transducer tasks (ops/rnnt.py::rnnt_loss_fused).
+
+    Returns ``fused(variables, f, f_lens, g, labels, label_lens, train,
+    rngs) -> loss`` or None (CTC task / fusion disabled via
+    ``RNNTLossConfig.fused_chunk_size=None``).
+    """
+    lc = cfg.loss
+    if not isinstance(lc, S.RNNTLossConfig) or lc.fused_chunk_size is None:
+        return None
+    from myrtlespeech_tpu.ops.rnnt import rnnt_loss_fused
+
+    chunk = lc.fused_chunk_size
+    red = lc.reduction.value
+
+    def fused(variables, f, f_lens, g, labels, label_lens,
+              train: bool = False, rngs=None):
+        def joint_apply(f_chunk):
+            # NB: dropout rngs (if any) repeat across chunks — the joint
+            # net's dropout mask is per-chunk-position, which is fine for
+            # the MLPerf recipe (joint dropout unset).
+            return model.apply(variables, f_chunk, g, train,
+                               method=RNNT.joint,
+                               rngs=rngs if train else None)
+
+        return rnnt_loss_fused(f, f_lens, g, labels, label_lens, joint_apply,
+                               blank_index=lc.blank_index, reduction=red,
+                               chunk_size=chunk)
+
+    return fused
+
+
 def validate(cfg: S.SpeechToTextConfig) -> None:
     """Cross-field checks the reference's builders enforce."""
     transducer_model = is_transducer(cfg)
@@ -384,6 +417,10 @@ class Task:
     lr_schedule: Callable
     train_dataset: Any
     eval_dataset: Optional[Any]
+    # Transducer-only: joint+loss fusion that takes (variables, f, f_lens,
+    # g, labels, label_lens, train, rngs) and never materialises the full
+    # joint logits.  None for CTC tasks or when fusion is disabled.
+    fused_loss: Optional[Callable] = None
 
     @property
     def transducer(self) -> bool:
@@ -409,4 +446,5 @@ def build_task(cfg: S.TaskConfig, steps_per_epoch: int = 1000,
         train_dataset=build_dataset(cfg.train_dataset),
         eval_dataset=(build_dataset(cfg.eval_dataset)
                       if cfg.eval_dataset is not None else None),
+        fused_loss=build_fused_transducer_loss(stt, model),
     )

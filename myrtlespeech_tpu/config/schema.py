@@ -293,10 +293,21 @@ class CTCLossConfig:
 
 @dataclass(frozen=True)
 class RNNTLossConfig:
-    """Mirrors ``rnn_t_loss.proto``."""
+    """Mirrors ``rnn_t_loss.proto``.
+
+    ``fused_chunk_size`` is a TPU-native extension (no reference analogue):
+    frames per chunk for the joint+loss fusion that never materialises the
+    full ``(B, T, U+1, ·)`` joint tensors (``ops/rnnt.py::rnnt_loss_fused``).
+    ``None`` (default) keeps the full-logits path — faster when the joint
+    fits in HBM (the fused path pays one joint recompute in backward,
+    measured +9% step time at B=32/5s/V=29 on v5e); set it (e.g. 32) for
+    long-utterance / large-vocab / large-batch configs where the
+    ``(B, T, U+1, H_joint)`` tensors are the memory wall.
+    """
 
     blank_index: int = 0
     reduction: Reduction = Reduction.MEAN
+    fused_chunk_size: Optional[int] = None
 
 
 LossConfig = Union[CTCLossConfig, RNNTLossConfig]

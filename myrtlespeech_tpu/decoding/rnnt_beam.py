@@ -101,8 +101,12 @@ def rnnt_beam_decode(
                        g=g, state=state)
 
             def cond(loop):
+                # One extra round past the emission cap: the final round
+                # only applies the blank move (emissions masked below), so
+                # the reference's "forced blank after max_symbols_per_step"
+                # is folded into the loop — no separate joint eval after it.
                 r, fin, exp = loop
-                return (r < max_symbols_per_step) & \
+                return (r <= max_symbols_per_step) & \
                     jnp.any(exp["score"] > NEG_INF / 2)
 
             def body(loop):
@@ -131,7 +135,7 @@ def rnnt_beam_decode(
                 ext_sc = exp["score"][:, None] + logp  # (W, V)
                 char = jnp.arange(V)
                 ok = (char[None, :] != blank_index) & \
-                    (exp["lens"][:, None] < U)
+                    (exp["lens"][:, None] < U) & (r < max_symbols_per_step)
                 ext_sc = jnp.where(ok, ext_sc, NEG_INF).reshape(-1)
                 parent = jnp.repeat(jnp.arange(W), V)
                 echar = jnp.tile(char, W).astype(jnp.int32)
@@ -158,23 +162,11 @@ def rnnt_beam_decode(
 
             _, fin, exp = jax.lax.while_loop(cond, body, (0, fin, exp))
 
-            # Hypotheses still expanding after the round cap take a forced
-            # blank (reference semantics: stop emitting, move to next t).
-            logits = joint_step(f_tw, exp["g"])
-            logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
-            forced_sc = exp["score"] + logp[:, blank_index]
-            cand_sc = jnp.concatenate([fin["score"], forced_sc])
-            cand_h1 = jnp.concatenate([fin["h1"], exp["h1"]])
-            cand_h2 = jnp.concatenate([fin["h2"], exp["h2"]])
-            top_sc, sel = _merge_topk(cand_sc, cand_h1, cand_h2, W)
-            gath = lambda a, b: jnp.concatenate([a, b])[sel]
-            new = (gath(fin["tokens"], exp["tokens"]),
-                   gath(fin["lens"], exp["lens"]),
-                   cand_h1[sel], cand_h2[sel], top_sc,
-                   gath(fin["g"], exp["g"]),
-                   jax.tree_util.tree_map(
-                       lambda a, b: jnp.concatenate([a, b])[sel],
-                       fin["state"], exp["state"]))
+            # The loop only exits once every expanding hypothesis is dead
+            # (blank taken, possibly forced by the masked final round), so
+            # the finished pool IS the new beam.
+            new = (fin["tokens"], fin["lens"], fin["h1"], fin["h2"],
+                   fin["score"], fin["g"], fin["state"])
 
             # Frames past the utterance end leave the beam untouched.
             out = jax.tree_util.tree_map(

@@ -48,30 +48,34 @@ def _log_semiring_linrec(a, c):
     return x
 
 
-def rnnt_forward_log_likelihood(log_probs, logit_lens, labels, label_lens,
-                                blank_index: int = 0):
-    """Per-example transducer log-likelihood from joint log-probs.
+def blank_emit_log_probs(log_probs, labels, blank_index: int = 0):
+    """Extract the two lattice inputs from joint log-probs.
 
-    Args:
-      log_probs: ``(B, T, U+1, V)`` log-softmaxed joint outputs.
-      logit_lens: ``(B,)`` valid encoder frame counts (>= 1).
-      labels: ``(B, U)`` int targets.
-      label_lens: ``(B,)`` valid target lengths (may be 0).
-      blank_index: blank id in ``V``.
-
-    Returns ``(B,)`` fp32 log-likelihoods.
+    log_probs: ``(B, T, U+1, V)``; labels: ``(B, U)``.  Returns
+    ``(lp_blank, lp_emit)`` each ``(B, T, U+1)`` fp32 where
+    ``lp_blank[t, u] = lp[t, u, blank]`` and
+    ``lp_emit[t, u] = lp[t, u, labels[u]]`` (last column is garbage — the
+    lattice masks it via ``label_lens``).
     """
-    B, T, U1, V = log_probs.shape
-    U = U1 - 1
+    B = log_probs.shape[0]
     lp = log_probs.astype(jnp.float32)
-
-    # blank[t, u] = lp[t, u, blank]; emit[t, u] = lp[t, u, labels[u]].
     lp_blank = lp[..., blank_index]  # (B, T, U+1)
     lab = jnp.concatenate(
         [labels.astype(jnp.int32),
          jnp.zeros((B, 1), jnp.int32)], axis=1)  # (B, U+1); last col unused
     lp_emit = jnp.take_along_axis(
         lp, lab[:, None, :, None], axis=3)[..., 0]  # (B, T, U+1)
+    return lp_blank, lp_emit
+
+
+def rnnt_log_likelihood_from_blank_emit(lp_blank, lp_emit, logit_lens,
+                                        label_lens):
+    """Transducer lattice recursion from pre-gathered blank/emit log-probs.
+
+    lp_blank, lp_emit: ``(B, T, U+1)`` fp32 (see
+    :func:`blank_emit_log_probs`); returns ``(B,)`` fp32 log-likelihoods.
+    """
+    B, T, U1 = lp_blank.shape
     # Disallow emitting beyond the true label length.
     u_idx = jnp.arange(U1)[None, :]
     emit_ok = u_idx < label_lens[:, None]  # (B, U+1)
@@ -113,6 +117,34 @@ def rnnt_forward_log_likelihood(log_probs, logit_lens, labels, label_lens,
     return jnp.maximum(a_final + b_final, NEG_INF)
 
 
+def rnnt_forward_log_likelihood(log_probs, logit_lens, labels, label_lens,
+                                blank_index: int = 0):
+    """Per-example transducer log-likelihood from joint log-probs.
+
+    Args:
+      log_probs: ``(B, T, U+1, V)`` log-softmaxed joint outputs.
+      logit_lens: ``(B,)`` valid encoder frame counts (>= 1).
+      labels: ``(B, U)`` int targets.
+      label_lens: ``(B,)`` valid target lengths (may be 0).
+      blank_index: blank id in ``V``.
+
+    Returns ``(B,)`` fp32 log-likelihoods.
+    """
+    lp_blank, lp_emit = blank_emit_log_probs(log_probs, labels, blank_index)
+    return rnnt_log_likelihood_from_blank_emit(lp_blank, lp_emit, logit_lens,
+                                               label_lens)
+
+
+def _reduce(nll, reduction: str):
+    if reduction == "none":
+        return nll
+    if reduction == "sum":
+        return jnp.sum(nll)
+    if reduction == "mean":
+        return jnp.mean(nll)
+    raise ValueError(f"unknown reduction {reduction!r}")
+
+
 def rnnt_loss(logits, logit_lens, labels, label_lens, blank_index: int = 0,
               reduction: str = "mean"):
     """Transducer loss from raw joint logits ``(B, T, U+1, V)``.
@@ -124,10 +156,55 @@ def rnnt_loss(logits, logit_lens, labels, label_lens, blank_index: int = 0,
     lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -rnnt_forward_log_likelihood(lp, logit_lens, labels, label_lens,
                                        blank_index)
-    if reduction == "none":
-        return nll
-    if reduction == "sum":
-        return jnp.sum(nll)
-    if reduction == "mean":
-        return jnp.mean(nll)
-    raise ValueError(f"unknown reduction {reduction!r}")
+    return _reduce(nll, reduction)
+
+
+def rnnt_loss_fused(f, f_lens, g, labels, label_lens, joint_apply, *,
+                    blank_index: int = 0, reduction: str = "mean",
+                    chunk_size: int = 32):
+    """Transducer loss fused with the joint network, chunked over T.
+
+    The (B, T, U+1, H_joint) hidden and (B, T, U+1, V) logits of the joint
+    net are the transducer's memory hot spot (SURVEY.md §3.3) — the
+    reference holds the full logits for warp-transducer, bounding batch
+    size.  Here the joint runs one T-chunk at a time inside a
+    ``lax.scan``; each chunk reduces immediately to the two tiny lattice
+    inputs ``(lp_blank, lp_emit)`` (B, T, U+1) and the chunk's activations
+    are rematerialised in the backward pass (``jax.checkpoint``), so peak
+    memory is O(T/chunks) of the unfused path while the big joint matmuls
+    still hit the MXU at full (B*chunk*U) row counts.
+
+    Args:
+      f: ``(B, T, H_enc)`` encoder output; f_lens: ``(B,)``.
+      g: ``(B, U+1, H_pred)`` prediction-net output.
+      joint_apply: ``fn(f_chunk (B, tc, H_enc)) -> logits (B, tc, U+1, V)``
+        — typically ``lambda fc: model.apply(vars, fc, g, method=RNNT.joint)``.
+      chunk_size: frames per chunk (static).
+
+    Returns the reduced loss (same semantics as :func:`rnnt_loss`).
+    """
+    B, T, H = f.shape
+    tc = min(chunk_size, T)
+    pad = (-T) % tc
+    n_chunks = (T + pad) // tc
+    f_pad = jnp.pad(f, ((0, 0), (0, pad), (0, 0)))
+    f_chunks = jnp.moveaxis(
+        f_pad.reshape(B, n_chunks, tc, H), 1, 0)  # (n, B, tc, H)
+
+    @jax.checkpoint
+    def chunk_fn(f_chunk):
+        logits = joint_apply(f_chunk)  # (B, tc, U+1, V)
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return blank_emit_log_probs(lp, labels, blank_index)
+
+    def scan_body(_, f_chunk):
+        return None, chunk_fn(f_chunk)
+
+    _, (lpb, lpe) = jax.lax.scan(scan_body, None, f_chunks)
+    # (n, B, tc, U+1) -> (B, T, U+1)
+    U1 = lpb.shape[-1]
+    lp_blank = jnp.moveaxis(lpb, 0, 1).reshape(B, T + pad, U1)[:, :T]
+    lp_emit = jnp.moveaxis(lpe, 0, 1).reshape(B, T + pad, U1)[:, :T]
+    nll = -rnnt_log_likelihood_from_blank_emit(lp_blank, lp_emit, f_lens,
+                                               label_lens)
+    return _reduce(nll, reduction)

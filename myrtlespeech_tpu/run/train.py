@@ -69,6 +69,20 @@ def _forward(task: Task, params, batch_stats, rng, batch, train: bool):
     kwargs = dict(
         mutable=["batch_stats"] if (train and batch_stats) else False,
         rngs={"dropout": drop_rng} if train else {})
+    if task.transducer and task.fused_loss is not None:
+        # Fused joint+loss path: encode/predict separately, then the joint
+        # runs T-chunked inside the loss (never materialising the full
+        # (B, T, U+1, ·) joint tensors — SURVEY.md §3.3 memory hot spot).
+        f, f_lens, new_stats = _apply_split_transducer(
+            task, variables, batch_stats, feats, flens, batch, kwargs,
+            want="encode")
+        g, _, new_stats2 = _apply_split_transducer(
+            task, variables, batch_stats, feats, flens, batch, kwargs,
+            want="predict")
+        new_stats = _merge_stats(batch_stats, new_stats, new_stats2)
+        loss = task.fused_loss(variables, f, f_lens, g, batch["labels"],
+                               batch["label_lens"], train, kwargs["rngs"])
+        return loss, (None, f_lens, new_stats)
     if task.transducer:
         out = task.model.apply(variables, feats, flens, batch["labels"],
                                batch["label_lens"], train, **kwargs)
@@ -83,6 +97,40 @@ def _forward(task: Task, params, batch_stats, rng, batch, train: bool):
     loss = task.loss_fn(logits, out_lens, batch["labels"],
                         batch["label_lens"])
     return loss, (logits, out_lens, new_stats)
+
+
+def _apply_split_transducer(task, variables, batch_stats, feats, flens,
+                            batch, kwargs, want: str):
+    """Run RNNT.encode or RNNT.predict with the same mutable/rng handling
+    as the fused full apply."""
+    train = bool(kwargs["rngs"])
+    if want == "encode":
+        out = task.model.apply(variables, feats, flens, train,
+                               method=RNNT.encode, **kwargs)
+    else:
+        out = task.model.apply(variables, batch["labels"],
+                               batch["label_lens"], train,
+                               method=RNNT.predict, **kwargs)
+    if kwargs["mutable"]:
+        res, updates = out
+        stats = updates.get("batch_stats", {})
+    else:
+        res, stats = out, {}
+    if want == "encode":
+        f, f_lens = res
+        return f, f_lens, stats
+    return res, None, stats
+
+
+def _merge_stats(batch_stats, *updates):
+    """Merge per-submodule batch_stats updates from split applies."""
+    if not batch_stats:
+        return batch_stats
+    merged = dict(batch_stats)
+    for u in updates:
+        if u:
+            merged.update(dict(u))
+    return merged
 
 
 def train_step_body(task: Task) -> Callable:
@@ -140,9 +188,13 @@ def eval_step_body(task: Task, decode: bool = True,
                 variables, feats, flens, method=RNNT.encode)
             g = task.model.apply(variables, batch["labels"],
                                  batch["label_lens"], method=RNNT.predict)
-            logits = task.model.apply(variables, f, g, method=RNNT.joint)
-            loss = task.loss_fn(logits, f_lens, batch["labels"],
-                                batch["label_lens"])
+            if task.fused_loss is not None:
+                loss = task.fused_loss(variables, f, f_lens, g,
+                                       batch["labels"], batch["label_lens"])
+            else:
+                logits = task.model.apply(variables, f, g, method=RNNT.joint)
+                loss = task.loss_fn(logits, f_lens, batch["labels"],
+                                    batch["label_lens"])
             metrics = {"loss": loss}
             if decode:
                 toks, tlens = task.decoder(variables, f, f_lens,

@@ -99,3 +99,72 @@ def test_reductions():
                        rtol=1e-5)
     assert np.allclose(float(rnnt_loss(*args, reduction="mean")), none.mean(),
                        rtol=1e-5)
+
+
+def test_fused_matches_unfused_values_and_grads():
+    """rnnt_loss_fused == rnnt_loss through a real joint net, incl. grads.
+
+    The fused path chunks T and remats the joint; math must be identical.
+    """
+    from myrtlespeech_tpu.ops.rnnt import rnnt_loss_fused
+
+    rng = np.random.default_rng(3)
+    B, T, U, V, He, Hp, Hj = 2, 11, 4, 6, 5, 3, 7
+    f = jnp.asarray(rng.standard_normal((B, T, He)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((B, U + 1, Hp)).astype(np.float32))
+    w1 = jnp.asarray(rng.standard_normal((He + Hp, Hj)).astype(np.float32))
+    w2 = jnp.asarray(rng.standard_normal((Hj, V)).astype(np.float32))
+    f_lens = jnp.asarray([T, T - 3], jnp.int32)
+    labels = jnp.asarray(rng.integers(1, V, size=(B, U)).astype(np.int32))
+    label_lens = jnp.asarray([U, 2], jnp.int32)
+
+    def joint(params, fc):
+        w1_, w2_ = params
+        fe = jnp.broadcast_to(fc[:, :, None, :],
+                              (B, fc.shape[1], U + 1, He))
+        ge = jnp.broadcast_to(g[:, None, :, :], (B, fc.shape[1], U + 1, Hp))
+        h = jax.nn.relu(jnp.concatenate([fe, ge], -1) @ w1_)
+        return h @ w2_
+
+    def loss_unfused(params):
+        from myrtlespeech_tpu.ops.rnnt import rnnt_loss as rl
+        return rl(joint(params, f), f_lens, labels, label_lens)
+
+    def loss_fused(params):
+        return rnnt_loss_fused(f, f_lens, g, labels, label_lens,
+                               lambda fc: joint(params, fc), chunk_size=4)
+
+    params = (w1, w2)
+    v0, g0 = jax.value_and_grad(loss_unfused)(params)
+    v1, g1 = jax.value_and_grad(loss_fused)(params)
+    np.testing.assert_allclose(float(v0), float(v1), rtol=1e-5)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_fused_chunk_size_invariance():
+    """Chunk size must not change the result (incl. T not divisible)."""
+    from myrtlespeech_tpu.ops.rnnt import rnnt_loss_fused
+
+    rng = np.random.default_rng(4)
+    B, T, U, V = 2, 7, 3, 5
+    lp = jnp.asarray(rng.standard_normal((B, T, U + 1, V)).astype(np.float32))
+    f = jnp.zeros((B, T, 1))
+    f_lens = jnp.asarray([T, 5], jnp.int32)
+    labels = jnp.asarray(rng.integers(1, V, size=(B, U)).astype(np.int32))
+    label_lens = jnp.asarray([U, 1], jnp.int32)
+
+    # joint_apply ignores f content and slices the fixed logits by position:
+    # emulate chunking by closing over a counter is impossible under jit, so
+    # instead embed the chunk's identity via f values.
+    fpos = jnp.arange(T, dtype=jnp.int32)[None, :, None].astype(jnp.float32)
+    vals = []
+    for cs in (1, 3, 7):
+        def joint_apply(fc):
+            idx = fc[:, :, 0].astype(jnp.int32)  # (B, tc) positions
+            return jnp.take_along_axis(lp, idx[:, :, None, None], axis=1)
+        v = rnnt_loss_fused(fpos * jnp.ones((B, T, 1)), f_lens, None,
+                            labels, label_lens, joint_apply, chunk_size=cs)
+        vals.append(float(v))
+    assert max(vals) - min(vals) < 1e-5

@@ -21,6 +21,8 @@ def main():
     p.add_argument("--no-pallas-lstm", action="store_true")
     p.add_argument("--no-pallas-rnnt", action="store_true")
     p.add_argument("--seconds", type=float, default=5.0)
+    p.add_argument("--fused-chunk", type=int, default=None,
+                   help="enable joint+loss fusion with this T-chunk size")
     p.add_argument("--steps", type=int, default=10)
     args = p.parse_args()
 
@@ -49,6 +51,10 @@ def main():
             eval_dataset=None,
             train_config=S.replace(cfg_mod.task_config.train_config,
                                    batch_size=B))
+        cfg = S.replace(cfg, speech_to_text=S.replace(
+            cfg.speech_to_text, loss=S.replace(
+                cfg.speech_to_text.loss,
+                fused_chunk_size=args.fused_chunk)))
         samples = int(16000 * args.seconds)
         batch = _example_batch(B, samples=samples, label_len=64)
         batch["labels"] = np.clip(batch["labels"], 1, 27)
@@ -70,7 +76,8 @@ def main():
         _ = float(m["loss"])
         dt = (time.perf_counter() - t0) / (n + 1)
         print(f"B={B} pallas_lstm={not args.no_pallas_lstm} "
-              f"pallas_rnnt={not args.no_pallas_rnnt}: "
+              f"pallas_rnnt={not args.no_pallas_rnnt} "
+              f"fused_chunk={args.fused_chunk}: "
               f"{dt*1000:.1f} ms/step -> "
               f"{B*args.seconds/dt:.0f} audio-s/s", flush=True)
 
