@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _lstm_kernel(x_proj_ref, valid_ref, w_hh_ref, h0_ref, c0_ref,
-                 ys_ref, cs_ref, hT_ref, cT_ref, h_scr, c_scr):
+                 ys_ref, cs_ref, ifgo_ref, hT_ref, cT_ref, h_scr, c_scr):
     t = pl.program_id(0)
     T = pl.num_programs(0)
     H = h_scr.shape[-1]
@@ -55,6 +55,10 @@ def _lstm_kernel(x_proj_ref, valid_ref, w_hh_ref, h0_ref, c0_ref,
     f = jax.nn.sigmoid(gates[:, H:2 * H])
     g = jnp.tanh(gates[:, 2 * H:3 * H])
     o = jax.nn.sigmoid(gates[:, 3 * H:])
+    # Post-activation gates saved (bf16) for backward: BPTT then needs no
+    # gate-recompute matmul, no transcendental recomputes, and no x_proj
+    # residual (which was 2x this tensor's bytes in fp32).
+    ifgo_ref[0] = jnp.concatenate([i, f, g, o], axis=1).astype(jnp.bfloat16)
     c_new = f * c + i * g
     h_new = o * jnp.tanh(c_new)
 
@@ -79,7 +83,7 @@ def _lstm_pallas_fwd_call(x_proj, valid, w_hh, h0, c0):
     """Run the forward kernel.  x_proj: (T, B, 4H) fp32 with the bias
     already folded in (a (1, 4H) bias row broadcast inside the kernel trips
     a Mosaic sublane-broadcast bug at B > 8); returns
-    (ys bf16 (T,B,H), cs fp32 (T,B,H), hT, cT)."""
+    (ys bf16 (T,B,H), cs fp32 (T,B,H), ifgo bf16 (T,B,4H), hT, cT)."""
     T, B, H4 = x_proj.shape
     H = H4 // 4
     grid = (T,)
@@ -103,6 +107,8 @@ def _lstm_pallas_fwd_call(x_proj, valid, w_hh, h0, c0):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B, H), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H4), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), lambda t: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), lambda t: (0, 0),
@@ -111,6 +117,7 @@ def _lstm_pallas_fwd_call(x_proj, valid, w_hh, h0, c0):
         out_shape=[
             jax.ShapeDtypeStruct((T, B, H), jnp.bfloat16),
             jax.ShapeDtypeStruct((T, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, H4), jnp.bfloat16),
             jax.ShapeDtypeStruct((B, H), jnp.float32),
             jax.ShapeDtypeStruct((B, H), jnp.float32),
         ],
@@ -131,22 +138,26 @@ def lstm_core(x_proj, valid, w_hh, h0, c0):
     valid (T,B) float32 1/0 mask, w_hh (H,4H) fp32, h0/c0 (B,H) fp32.
     Returns (ys bf16 (T,B,H), hT fp32, cT fp32).
     """
-    ys, _cs, hT, cT = _lstm_pallas_fwd_call(x_proj, valid, w_hh, h0, c0)
+    ys, _cs, _ifgo, hT, cT = _lstm_pallas_fwd_call(x_proj, valid, w_hh,
+                                                   h0, c0)
     return ys, hT, cT
 
 
 def _fwd(x_proj, valid, w_hh, h0, c0):
-    ys, cs, hT, cT = _lstm_pallas_fwd_call(x_proj, valid, w_hh, h0, c0)
-    return (ys, hT, cT), (x_proj, valid, w_hh, h0, c0, ys, cs)
+    ys, cs, ifgo, hT, cT = _lstm_pallas_fwd_call(x_proj, valid, w_hh, h0, c0)
+    # NB: x_proj is NOT a residual — backward reads the saved bf16 gate
+    # activations instead (half the bytes, no recompute matmul).
+    return (ys, hT, cT), (valid, w_hh, h0, c0, ys, cs, ifgo)
 
 
-def _bwd_kernel(x_proj_ref, valid_ref, w_hh_ref, hprev_ref, cprev_ref,
-                cs_ref, dys_ref, dhT_ref, dcT_ref, dz_ref, dh0_ref, dc0_ref,
+def _bwd_kernel(valid_ref, w_hh_ref, cprev_ref, cs_ref, ifgo_ref,
+                dys_ref, dhT_ref, dcT_ref, dz_ref, dh0_ref, dc0_ref,
                 dh_scr, dc_scr):
     """One reverse-time BPTT step; dh/dc carried in VMEM scratch.
 
-    Fuses the gate recomputation matmul, the ~15 elementwise ops and the
-    dh back-propagation matmul (via dot_general on the single resident
+    Consumes the forward's saved bf16 gate activations — no recompute
+    matmul — and fuses the ~15 elementwise ops with the dh
+    back-propagation matmul (via dot_general on the single resident
     w_hh copy — a second transposed copy would not fit VMEM at H=1024).
     """
     r = pl.program_id(0)  # processes row t = T-1-r via index maps
@@ -158,8 +169,6 @@ def _bwd_kernel(x_proj_ref, valid_ref, w_hh_ref, hprev_ref, cprev_ref,
         dh_scr[:] = dhT_ref[:]
         dc_scr[:] = dcT_ref[:]
 
-    x_t = x_proj_ref[0]
-    hp = hprev_ref[0]
     cp = cprev_ref[0]
     c_t = cs_ref[0]
     dy_t = dys_ref[0].astype(jnp.float32)
@@ -168,12 +177,11 @@ def _bwd_kernel(x_proj_ref, valid_ref, w_hh_ref, hprev_ref, cprev_ref,
     v4 = pltpu.repeat(v128, (4 * H) // 128, axis=1) if 4 * H > 128 \
         else v128[:, :4 * H]
 
-    gates = x_t + jnp.dot(hp.astype(jnp.bfloat16), w_hh_ref[:],
-                          preferred_element_type=jnp.float32)
-    i = jax.nn.sigmoid(gates[:, :H])
-    f = jax.nn.sigmoid(gates[:, H:2 * H])
-    g = jnp.tanh(gates[:, 2 * H:3 * H])
-    o = jax.nn.sigmoid(gates[:, 3 * H:])
+    ifgo = ifgo_ref[0].astype(jnp.float32)  # (B, 4H)
+    i = ifgo[:, :H]
+    f = ifgo[:, H:2 * H]
+    g = ifgo[:, 2 * H:3 * H]
+    o = ifgo[:, 3 * H:]
     tc = jnp.tanh(c_t)
 
     dh = dh_scr[:]
@@ -202,9 +210,8 @@ def _bwd_kernel(x_proj_ref, valid_ref, w_hh_ref, hprev_ref, cprev_ref,
         dc0_ref[:] = dc_scr[:]
 
 
-def _bwd_pallas_call(x_proj, valid, w_hh, h_prev, c_prev, cs, dys, dhT,
-                     dcT):
-    T, B, H4 = x_proj.shape
+def _bwd_pallas_call(valid, w_hh, c_prev, cs, ifgo, dys, dhT, dcT):
+    T, B, H4 = ifgo.shape
     H = H4 // 4
     rev = lambda t: (T - 1 - t, 0, 0)
     rev2 = lambda t: (0, 0)
@@ -212,12 +219,11 @@ def _bwd_pallas_call(x_proj, valid, w_hh, h_prev, c_prev, cs, dys, dhT,
         _bwd_kernel,
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((1, B, H4), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B, 128), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((H, H4), rev2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, H4), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B, H), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), rev2, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, H), rev2, memory_space=pltpu.VMEM),
@@ -236,12 +242,12 @@ def _bwd_pallas_call(x_proj, valid, w_hh, h_prev, c_prev, cs, dys, dhT,
             pltpu.VMEM((B, H), jnp.float32),
             pltpu.VMEM((B, H), jnp.float32),
         ],
-    )(x_proj, jnp.broadcast_to(valid[:, :, None], (T, B, 128)),
-      w_hh.astype(jnp.bfloat16), h_prev, c_prev, cs, dys, dhT, dcT)
+    )(jnp.broadcast_to(valid[:, :, None], (T, B, 128)),
+      w_hh.astype(jnp.bfloat16), c_prev, cs, ifgo, dys, dhT, dcT)
 
 
 def _bwd(res, grads):
-    x_proj, valid, w_hh, h0, c0, ys, cs = res
+    valid, w_hh, h0, c0, ys, cs, ifgo = res
     dys, dhT, dcT = grads
     T, B, H = ys.shape
 
@@ -255,7 +261,7 @@ def _bwd(res, grads):
     c_prev = jnp.concatenate([c0[None], cs[:-1]], 0)
 
     dz_all, dh0, dc0 = _bwd_pallas_call(
-        x_proj, valid, w_hh, h_prev, c_prev, cs,
+        valid, w_hh, c_prev, cs, ifgo,
         dys.astype(jnp.float32), dhT, dcT)
 
     # Weight/bias grads as single large matmuls (hoisted like the forward).

@@ -43,16 +43,23 @@ def main(argv=None) -> int:
     if args.log_dir:
         cbs.append(C.CSVLogger(f"{args.log_dir}/metrics.csv"))
         cbs.append(C.TensorBoardLogger(args.log_dir))
+    initial_state, start_epoch = None, 0
     if args.checkpoint_dir:
         from myrtlespeech_tpu.run.checkpoint import (CheckpointCallback,
                                                      CheckpointManager)
         mgr = CheckpointManager(args.checkpoint_dir)
         cbs.append(CheckpointCallback(mgr))
+        if args.resume and mgr.latest_step() is not None:
+            initial_state, start_epoch = _restore_state(
+                task, mgr, steps_per_epoch)
+            print(f"resumed from step {int(initial_state.step)} "
+                  f"(epoch {start_epoch})")
     if args.max_batches:
         cbs.append(C.StopEpochAfter(args.max_batches))
 
     handler = fit(task, epochs=args.epochs, callbacks=cbs,
-                  decode_eval=not args.no_decode)
+                  decode_eval=not args.no_decode,
+                  initial_state=initial_state, start_epoch=start_epoch)
     print(json.dumps(handler.state.get("reports", {}), indent=2,
                      default=str))
     return 0
@@ -61,6 +68,27 @@ def main(argv=None) -> int:
 def _dataset_len(ds_cfg) -> int:
     from myrtlespeech_tpu.builders.build import build_dataset
     return len(build_dataset(ds_cfg))
+
+
+def _restore_state(task, mgr, steps_per_epoch: int):
+    """Restore the latest TrainState; returns (state, epoch to resume at).
+
+    A template state (correct pytree structure/shapes) is initialised from
+    one example batch, then overwritten by the checkpoint.
+    """
+    import jax
+
+    from myrtlespeech_tpu.data.batch import BucketedLoader
+    from myrtlespeech_tpu.run.train import init_state
+
+    loader = BucketedLoader(task.train_dataset, task.alphabet,
+                            task.cfg.train_config.batch_size, shuffle=False)
+    batch = next(iter(loader))
+    arrays = {k: v for k, v in batch.items() if k != "texts"}
+    template = init_state(task, jax.random.PRNGKey(
+        task.cfg.train_config.seed), arrays)
+    state = mgr.restore(template)
+    return state, int(state.step) // max(steps_per_epoch, 1)
 
 
 if __name__ == "__main__":

@@ -223,8 +223,14 @@ def make_eval_step(task: Task, decode: bool = True,
 def fit(task: Task, epochs: Optional[int] = None, callbacks=(),
         batch_size: Optional[int] = None, decode_eval: bool = True,
         seed: Optional[int] = None, loader_kwargs: Optional[dict] = None,
-        eval_loader_kwargs: Optional[dict] = None) -> CallbackHandler:
+        eval_loader_kwargs: Optional[dict] = None,
+        initial_state: Optional[TrainState] = None,
+        start_epoch: int = 0) -> CallbackHandler:
     """Train ``task`` for ``epochs`` (reference ``fit`` semantics).
+
+    ``initial_state``/``start_epoch`` support checkpoint resume: pass a
+    restored ``TrainState`` and the epoch to continue from (the LR
+    schedule keys off ``state.step``, so it continues seamlessly).
 
     Returns the callback handler (its ``state['reports']`` carries final
     metrics: mean losses, WER/CER, throughput).
@@ -264,10 +270,10 @@ def fit(task: Task, epochs: Optional[int] = None, callbacks=(),
     eval_step = make_eval_step(task, decode=decode_eval)
 
     rng = jax.random.PRNGKey(seed)
-    state: Optional[TrainState] = None
+    state: Optional[TrainState] = initial_state
 
     handler.on_train_begin()
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         handler.on_epoch_begin(epoch)
 
         handler.on_stage_begin(Stage.TRAIN)
