@@ -298,7 +298,7 @@ def build_decoder(cfg: S.SpeechToTextConfig, model) -> Callable:
             word_count_beta=pc.word_count_beta,
             separator_index=pc.separator_index,
             lm_alpha=pc.lm_alpha if lm_bigram is not None else None,
-            lm_bigram=lm_bigram)
+            lm_bigram=lm_bigram, expand_topk=pc.expand_topk)
     make, init_state_fn = build_rnnt_decode_helpers(model, cfg.model)
     if isinstance(pc, S.RNNTGreedyDecoderConfig):
         def greedy(variables, f, f_lens, max_output_len: int = 200):
@@ -318,7 +318,8 @@ def build_decoder(cfg: S.SpeechToTextConfig, model) -> Callable:
                 blank_index=pc.blank_index, beam_width=pc.beam_width,
                 length_norm=pc.length_norm,
                 max_symbols_per_step=pc.max_symbols_per_step,
-                max_output_len=max_output_len)
+                max_output_len=max_output_len,
+                expand_topk=pc.expand_topk)
         return beam
     raise ValueError(f"unknown decoder config {type(pc)}")
 

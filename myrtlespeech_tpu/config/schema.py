@@ -341,6 +341,10 @@ class CTCBeamDecoderConfig:
     # The reference's external host-side LM binary becomes a dense on-device
     # matrix here; estimate one with tools/train_char_lm.py.
     lm_bigram_path: Optional[str] = None
+    # TPU-native extension: expand only the frame's k best non-blank
+    # symbols per round (None = all V); k >= beam_width is lossless in
+    # practice and shrinks the on-device merge/sort by ~V/k.
+    expand_topk: Optional[int] = 16
 
 
 @dataclass(frozen=True)
@@ -353,12 +357,19 @@ class RNNTGreedyDecoderConfig:
 
 @dataclass(frozen=True)
 class RNNTBeamDecoderConfig:
-    """Mirrors ``rnn_t_beam_decoder.proto`` (Graves 2012 Algorithm 1)."""
+    """Mirrors ``rnn_t_beam_decoder.proto`` (Graves 2012 Algorithm 1).
+
+    ``expand_topk`` is a TPU-native extension: per round, expand only each
+    hypothesis's k best non-blank symbols (None = all).  k >= beam_width
+    is lossless in practice and shrinks the on-device merge/sort work per
+    round by ~V/k.
+    """
 
     blank_index: int = 0
     beam_width: int = 8
     length_norm: bool = False
     max_symbols_per_step: int = 30
+    expand_topk: Optional[int] = 16
 
 
 DecoderConfig = Union[CTCGreedyDecoderConfig, CTCBeamDecoderConfig,

@@ -55,7 +55,7 @@ def _seg_logsumexp(vals, seg_start):
 def _beam_step(carry, logp_t, *, W: int, V: int, U: int, blank: int,
                prune_log: float, word_beta: Optional[float],
                separator: Optional[int], lm_alpha: Optional[float] = None,
-               lm_bigram=None):
+               lm_bigram=None, expand_topk: Optional[int] = None):
     """One frame of prefix beam search for a single utterance."""
     prefixes, lengths, words, h1, h2, p_b, p_nb, valid_t = carry
     lp, is_valid = logp_t  # (V,), scalar bool
@@ -74,16 +74,25 @@ def _beam_step(carry, logp_t, *, W: int, V: int, U: int, blank: int,
     stay_pb = total + lp[blank]
     stay_pnb = jnp.where(last >= 0, p_nb + lp[jnp.maximum(last, 0)], NEG_INF)
 
-    # Extension candidates (W x V): prefix + c for c != blank.
-    ext_base = jnp.where(last[:, None] == jnp.arange(V)[None, :],
+    # Extension candidates (W x K): prefix + c for c != blank.  With
+    # ``expand_topk`` only the frame's K best non-blank symbols are
+    # considered (K >= W is lossless in practice — the beam keeps at most
+    # W survivors), shrinking the sort/merge below by ~V/K.
+    if expand_topk is not None and expand_topk < V:
+        K = expand_topk
+        lp_top, sym = jax.lax.top_k(lp.at[blank].set(NEG_INF), K)  # (K,)
+    else:
+        K = V
+        lp_top, sym = lp, jnp.arange(V)
+    ext_base = jnp.where(last[:, None] == sym[None, :],
                          p_b[:, None], total[:, None])  # double-letter rule
-    ext_p = ext_base + lp[None, :]  # (W, V)
-    char_ok = (jnp.arange(V) != blank)[None, :]
-    pruned = lp[None, :] >= prune_log
+    ext_p = ext_base + lp_top[None, :]  # (W, K)
+    char_ok = (sym != blank)[None, :]
+    pruned = lp_top[None, :] >= prune_log
     ext_p = jnp.where(char_ok & pruned, ext_p, NEG_INF)
     if word_beta is not None and separator is not None:
         # Word-count bonus fires when a separator completes a word.
-        completes = (jnp.arange(V)[None, :] == separator) & \
+        completes = (sym[None, :] == separator) & \
             (last[:, None] != separator) & (lengths[:, None] > 0)
         ext_p = ext_p + jnp.where(completes, word_beta, 0.0)
     if lm_alpha is not None and lm_bigram is not None:
@@ -91,16 +100,16 @@ def _beam_step(carry, logp_t, *, W: int, V: int, U: int, blank: int,
         # score += alpha * log p_lm(c | last); row `V` of the matrix is
         # the sentence-start distribution (empty prefix).
         lm_row = lm_bigram[jnp.where(last >= 0, last, V)]  # (W, V)
-        ext_p = ext_p + lm_alpha * lm_row
+        ext_p = ext_p + lm_alpha * jnp.take(lm_row, sym, axis=1)
 
-    # Flatten: N = W stay + W*V extensions.
-    N = W + W * V
+    # Flatten: N = W stay + W*K extensions.
+    N = W + W * K
     parent = jnp.concatenate(
-        [jnp.arange(W), jnp.repeat(jnp.arange(W), V)])  # (N,)
+        [jnp.arange(W), jnp.repeat(jnp.arange(W), K)])  # (N,)
     ext_char = jnp.concatenate(
         [jnp.full((W,), -1, jnp.int32),
-         jnp.tile(jnp.arange(V, dtype=jnp.int32), W)])
-    cand_pb = jnp.concatenate([stay_pb, jnp.full((W * V,), NEG_INF)])
+         jnp.tile(sym.astype(jnp.int32), W)])
+    cand_pb = jnp.concatenate([stay_pb, jnp.full((W * K,), NEG_INF)])
     cand_pnb = jnp.concatenate([stay_pnb, ext_p.reshape(-1)])
 
     # Rolling hashes for candidate prefixes.
@@ -168,7 +177,8 @@ def ctc_beam_decode(logits, logit_lens, *, blank_index: int = 0,
                     separator_index: Optional[int] = None,
                     lm_alpha: Optional[float] = None,
                     lm_bigram=None,
-                    max_output_len: Optional[int] = None):
+                    max_output_len: Optional[int] = None,
+                    expand_topk: Optional[int] = None):
     """Prefix-beam-search decode a batch of ``(B, T, V)`` logits.
 
     ``lm_bigram``: optional ``(V+1, V)`` char-bigram log-prob matrix (row
@@ -190,7 +200,8 @@ def ctc_beam_decode(logits, logit_lens, *, blank_index: int = 0,
         prune_log=prune_log, word_beta=word_count_beta,
         separator=separator_index, lm_alpha=lm_alpha,
         lm_bigram=None if lm_bigram is None
-        else jnp.asarray(lm_bigram, jnp.float32))
+        else jnp.asarray(lm_bigram, jnp.float32),
+        expand_topk=expand_topk)
 
     def decode_one(lp_bt, n_valid):
         # Initial beam: single empty prefix (p_b = 0), rest dead.

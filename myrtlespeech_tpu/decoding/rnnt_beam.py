@@ -72,8 +72,15 @@ def rnnt_beam_decode(
     length_norm: bool = False,
     max_symbols_per_step: int = 30,
     max_output_len: int = 200,
+    expand_topk: Optional[int] = None,
 ):
-    """Beam-search decode a batch. Returns ``(tokens (B, U), lens (B,))``."""
+    """Beam-search decode a batch. Returns ``(tokens (B, U), lens (B,))``.
+
+    ``expand_topk``: consider only each hypothesis's k most probable
+    non-blank symbols when expanding (None = all V — exact).  The beam can
+    only ever keep W survivors, so k >= W loses nothing in practice while
+    shrinking the per-round merge/sort from W*(V+1) to W*(k+1) candidates.
+    """
     W = beam_width
     B, T, H_enc = f.shape
     U = max_output_len
@@ -131,14 +138,24 @@ def rnnt_beam_decode(
                         lambda a, b: jnp.concatenate([a, b])[sel],
                         fin["state"], exp["state"]))
 
-                # --- emit: W x V extensions stay expanding --------------
-                ext_sc = exp["score"][:, None] + logp  # (W, V)
-                char = jnp.arange(V)
-                ok = (char[None, :] != blank_index) & \
+                # --- emit: W x K extensions stay expanding --------------
+                if expand_topk is not None and expand_topk < V:
+                    K = expand_topk
+                    # Blank masked so the top-k picks non-blank symbols.
+                    lp_nb = logp.at[:, blank_index].set(NEG_INF)
+                    lp_top, char_top = jax.lax.top_k(lp_nb, K)  # (W, K)
+                    ext_sc = exp["score"][:, None] + lp_top
+                    char_mat = char_top.astype(jnp.int32)
+                else:
+                    K = V
+                    ext_sc = exp["score"][:, None] + logp  # (W, V)
+                    char_mat = jnp.broadcast_to(
+                        jnp.arange(V, dtype=jnp.int32)[None, :], (W, V))
+                ok = (char_mat != blank_index) & \
                     (exp["lens"][:, None] < U) & (r < max_symbols_per_step)
                 ext_sc = jnp.where(ok, ext_sc, NEG_INF).reshape(-1)
-                parent = jnp.repeat(jnp.arange(W), V)
-                echar = jnp.tile(char, W).astype(jnp.int32)
+                parent = jnp.repeat(jnp.arange(W), K)
+                echar = char_mat.reshape(-1)
                 cu = (echar + 1).astype(jnp.uint32)
                 eh1 = exp["h1"][parent] * _MUL1 + cu
                 eh2 = exp["h2"][parent] * _MUL2 + cu

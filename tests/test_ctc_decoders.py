@@ -144,3 +144,34 @@ def test_beam_word_beta_bonus():
     seps_no = (np.asarray(t_no)[0, :int(l_no[0])] == 3).sum()
     seps_b = (np.asarray(t_b)[0, :int(l_b[0])] == 3).sum()
     assert seps_b >= seps_no
+
+
+def test_beam_expand_topk_lossless_when_k_large():
+    """expand_topk >= V-1 must reproduce the full expansion exactly."""
+    rng = np.random.default_rng(21)
+    B, T, V = 3, 9, 6
+    logits = rng.standard_normal((B, T, V)).astype(np.float32)
+    lens = jnp.asarray([9, 6, 1])
+    full = ctc_beam_decode(jnp.asarray(logits), lens, beam_width=8,
+                           prune_threshold=0.0)
+    k = ctc_beam_decode(jnp.asarray(logits), lens, beam_width=8,
+                        prune_threshold=0.0, expand_topk=V - 1)
+    np.testing.assert_array_equal(np.asarray(full[1]), np.asarray(k[1]))
+    np.testing.assert_array_equal(np.asarray(full[0]), np.asarray(k[0]))
+
+
+def test_beam_expand_topk_small_still_finds_peaked_path():
+    """With a peaked distribution, k=2 matches the full beam."""
+    rng = np.random.default_rng(22)
+    B, T, V = 2, 8, 10
+    logits = rng.standard_normal((B, T, V)).astype(np.float32) * 0.01
+    # plant a strong path on symbols 3 and 7
+    logits[:, ::2, 3] += 6.0
+    logits[:, 1::2, 7] += 6.0
+    lens = jnp.asarray([T, T])
+    full = ctc_beam_decode(jnp.asarray(logits), lens, beam_width=4,
+                           prune_threshold=0.0)
+    k = ctc_beam_decode(jnp.asarray(logits), lens, beam_width=4,
+                        prune_threshold=0.0, expand_topk=2)
+    np.testing.assert_array_equal(np.asarray(full[0]), np.asarray(k[0]))
+    np.testing.assert_array_equal(np.asarray(full[1]), np.asarray(k[1]))

@@ -145,3 +145,37 @@ def test_greedy_batch_consistency():
         np.testing.assert_array_equal(
             np.asarray(tb)[0, :int(lb[0])],
             np.asarray(toks)[b, :int(tlens[b])])
+
+
+def test_beam_expand_topk_lossless_when_k_large(tiny_model=None):
+    """expand_topk >= V-1 reproduces the full RNN-T beam exactly."""
+    import numpy as np
+
+    from myrtlespeech_tpu.decoding.rnnt_beam import rnnt_beam_decode
+
+    rng = np.random.default_rng(31)
+    B, T, H, V = 2, 5, 4, 6
+
+    # Stateless toy predict/joint closing over random matrices.
+    wj = jnp.asarray(rng.standard_normal((2 * H, V)).astype(np.float32))
+    we = jnp.asarray(rng.standard_normal((V + 1, H)).astype(np.float32))
+
+    def predict_step(tok, state):
+        return we[tok + 1], state
+
+    def joint_step(f_t, g):
+        return jnp.concatenate([f_t, g], -1) @ wj
+
+    def init_state_fn(n):
+        return jnp.zeros((n, 1))
+
+    f = jnp.asarray(rng.standard_normal((B, T, H)).astype(np.float32))
+    f_lens = jnp.asarray([T, 3])
+    kw = dict(blank_index=0, beam_width=4, max_symbols_per_step=3,
+              max_output_len=12)
+    full = rnnt_beam_decode(f, f_lens, predict_step, joint_step,
+                            init_state_fn, **kw)
+    k = rnnt_beam_decode(f, f_lens, predict_step, joint_step,
+                         init_state_fn, expand_topk=V - 1, **kw)
+    np.testing.assert_array_equal(np.asarray(full[0]), np.asarray(k[0]))
+    np.testing.assert_array_equal(np.asarray(full[1]), np.asarray(k[1]))

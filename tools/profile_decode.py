@@ -17,6 +17,8 @@ def main():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--seconds", type=float, default=5.0)
     p.add_argument("--beam", type=int, default=8)
+    p.add_argument("--expand-topk", type=int, default=None,
+                   help="beam expansion top-k pruning (None = full V)")
     args = p.parse_args()
 
     sys.path.insert(0, ".")
@@ -78,14 +80,15 @@ def main():
     beam = jax.jit(lambda f, fl: rnnt_beam_decode(
         f, fl, predict_step, joint_step, init_state_fn,
         blank_index=0, beam_width=args.beam, max_symbols_per_step=4,
-        max_output_len=128))
+        max_output_len=128, expand_topk=args.expand_topk))
     toks, lens = beam(f, f_lens)
     _ = int(jnp.sum(lens))
     t0 = time.perf_counter()
     toks, lens = beam(f, f_lens)
     _ = int(jnp.sum(lens))
     dt = time.perf_counter() - t0
-    print(f"rnnt beam W={args.beam} B={B}: {dt*1000:.1f} ms -> "
+    print(f"rnnt beam W={args.beam} k={args.expand_topk} B={B}: "
+          f"{dt*1000:.1f} ms -> "
           f"{audio_s/dt:.0f} audio-s/s", flush=True)
 
     # CTC beam on synthetic logits of matching shape.
@@ -93,14 +96,16 @@ def main():
     T = int(f.shape[1])
     logits = jnp.asarray(rng.standard_normal((B, T, 29)).astype(np.float32))
     cbeam = jax.jit(lambda lg, fl: ctc_beam_decode(
-        lg, fl, blank_index=0, beam_width=16))
+        lg, fl, blank_index=0, beam_width=16,
+        expand_topk=args.expand_topk))
     toks, lens = cbeam(logits, f_lens)
     _ = int(jnp.sum(lens))
     t0 = time.perf_counter()
     toks, lens = cbeam(logits, f_lens)
     _ = int(jnp.sum(lens))
     dt = time.perf_counter() - t0
-    print(f"ctc beam W=16 B={B}: {dt*1000:.1f} ms -> {audio_s/dt:.0f} "
+    print(f"ctc beam W=16 k={args.expand_topk} B={B}: "
+          f"{dt*1000:.1f} ms -> {audio_s/dt:.0f} "
           f"audio-s/s", flush=True)
 
 
