@@ -48,7 +48,7 @@ def _lstm_kernel(x_proj_ref, valid_ref, w_hh_ref, h0_ref, c0_ref,
 
     h = h_scr[:]
     c = c_scr[:]
-    gates = x_proj_ref[0] + jnp.dot(
+    gates = x_proj_ref[0].astype(jnp.float32) + jnp.dot(
         h.astype(jnp.bfloat16), w_hh_ref[:],
         preferred_element_type=jnp.float32)
     i = jax.nn.sigmoid(gates[:, :H])
@@ -64,13 +64,15 @@ def _lstm_kernel(x_proj_ref, valid_ref, w_hh_ref, h0_ref, c0_ref,
 
     # Mask arrives pre-broadcast to lane width 128 ((B,1) vectors trip a
     # Mosaic layout bug at larger B); widen to H with an in-register repeat.
+    # Selects, not arithmetic blends: 1 VPU op each instead of 3.
     v128 = valid_ref[0]  # (B, 128) fp32
     v = pltpu.repeat(v128, H // 128, axis=1) if H > 128 else v128[:, :H]
-    h_out = v * h_new + (1.0 - v) * h
-    c_out = v * c_new + (1.0 - v) * c
+    vb = v > 0.5
+    h_out = jnp.where(vb, h_new, h)
+    c_out = jnp.where(vb, c_new, c)
     h_scr[:] = h_out
     c_scr[:] = c_out
-    ys_ref[0] = (v * h_new).astype(ys_ref.dtype)
+    ys_ref[0] = jnp.where(vb, h_new, 0.0).astype(ys_ref.dtype)
     cs_ref[0] = c_out
 
     @pl.when(t == T - 1)
@@ -146,8 +148,9 @@ def lstm_core(x_proj, valid, w_hh, h0, c0):
 def _fwd(x_proj, valid, w_hh, h0, c0):
     ys, cs, ifgo, hT, cT = _lstm_pallas_fwd_call(x_proj, valid, w_hh, h0, c0)
     # NB: x_proj is NOT a residual — backward reads the saved bf16 gate
-    # activations instead (half the bytes, no recompute matmul).
-    return (ys, hT, cT), (valid, w_hh, h0, c0, ys, cs, ifgo)
+    # activations instead (half the bytes, no recompute matmul).  The empty
+    # slice only records x_proj's dtype for the cotangent.
+    return (ys, hT, cT), (x_proj[:0], valid, w_hh, h0, c0, ys, cs, ifgo)
 
 
 def _bwd_kernel(valid_ref, w_hh_ref, cprev_ref, cs_ref, ifgo_ref,
@@ -247,7 +250,7 @@ def _bwd_pallas_call(valid, w_hh, c_prev, cs, ifgo, dys, dhT, dcT):
 
 
 def _bwd(res, grads):
-    valid, w_hh, h0, c0, ys, cs, ifgo = res
+    x_proj_proto, valid, w_hh, h0, c0, ys, cs, ifgo = res
     dys, dhT, dcT = grads
     T, B, H = ys.shape
 
@@ -269,7 +272,7 @@ def _bwd(res, grads):
         h_prev.reshape(T * B, H).T.astype(jnp.bfloat16),
         dz_all.reshape(T * B, 4 * H).astype(jnp.bfloat16),
         preferred_element_type=jnp.float32)
-    return dz_all, None, dw_hh, dh0, dc0
+    return dz_all.astype(x_proj_proto.dtype), None, dw_hh, dh0, dc0
 
 
 lstm_core.defvjp(_fwd, _bwd)
@@ -302,6 +305,9 @@ def lstm_scan_pallas(x, lengths, w_ih, w_hh, b, h0c0=None,
     valid = (jnp.arange(T)[:, None] < lengths[None, :]).astype(jnp.float32)
     if b is not None:
         x_proj = x_proj + b.astype(jnp.float32)
+    # Stream x_proj at the compute dtype: in bf16 this halves the kernel's
+    # dominant per-step HBM read (the gate sum accumulates in fp32 inside).
+    x_proj = x_proj.astype(compute_dtype)
 
     ys, hT, cT = lstm_core(x_proj, valid, w_hh.astype(jnp.float32),
                            h0c0.h, h0c0.c)

@@ -23,6 +23,8 @@ def main():
     p.add_argument("--seconds", type=float, default=5.0)
     p.add_argument("--fused-chunk", type=int, default=None,
                    help="enable joint+loss fusion with this T-chunk size")
+    p.add_argument("--config", default="configs.rnn_t_en",
+                   help="task config module (e.g. configs.deep_speech_2_en)")
     p.add_argument("--steps", type=int, default=10)
     args = p.parse_args()
 
@@ -43,7 +45,8 @@ def main():
         import myrtlespeech_tpu.ops.pallas.rnnt_kernel as rk
         rk.rnnt_loss_pallas = rnnt_mod.rnnt_loss
 
-    cfg_mod = __import__("configs.rnn_t_en", fromlist=["task_config"])
+    cfg_mod = __import__(args.config.replace("/", ".").removesuffix(".py"),
+                         fromlist=["task_config"])
     for B in [int(x) for x in args.batch.split(",")]:
         cfg = S.replace(
             cfg_mod.task_config,
@@ -51,13 +54,15 @@ def main():
             eval_dataset=None,
             train_config=S.replace(cfg_mod.task_config.train_config,
                                    batch_size=B))
-        cfg = S.replace(cfg, speech_to_text=S.replace(
-            cfg.speech_to_text, loss=S.replace(
-                cfg.speech_to_text.loss,
-                fused_chunk_size=args.fused_chunk)))
+        if isinstance(cfg.speech_to_text.loss, S.RNNTLossConfig):
+            cfg = S.replace(cfg, speech_to_text=S.replace(
+                cfg.speech_to_text, loss=S.replace(
+                    cfg.speech_to_text.loss,
+                    fused_chunk_size=args.fused_chunk)))
         samples = int(16000 * args.seconds)
         batch = _example_batch(B, samples=samples, label_len=64)
-        batch["labels"] = np.clip(batch["labels"], 1, 27)
+        V = len(cfg.speech_to_text.alphabet)
+        batch["labels"] = np.clip(batch["labels"], 1, V - 2)
         task = build_task(cfg, steps_per_epoch=100)
         state = init_state(task, jax.random.PRNGKey(0), batch)
         body = train_step_body(task)
