@@ -142,9 +142,55 @@ def preprocess_out_features(steps: Tuple[S.PreProcessStepConfig, ...]) -> int:
 # ---------------------------------------------------------------------------
 
 
-def build_model(cfg: S.SpeechToTextConfig, dtype=jnp.bfloat16):
+def validate_model_shapes(model_cfg: S.ModelConfig, in_features: int) -> None:
+    """Static feature-shape validation (reference builders thread feature
+    sizes downward, SURVEY.md §2.2; here the formulas live in
+    ``models/cnn.py::conv_block_out_features`` / ``models/vgg.py::
+    vgg_output_size``).  Raises ``ValueError`` with a per-layer diagnostic
+    when a conv/VGG frontend collapses the feature dim to <= 0."""
+    from myrtlespeech_tpu.models.vgg import vgg_output_size
+    from myrtlespeech_tpu.ops.masking import conv_out_size, same_padding
+
+    def walk_conv_block(layers, f, where):
+        for li, c in enumerate(layers):
+            pad_f = (same_padding(c.kernel_feature)
+                     if c.padding is S.PaddingMode.SAME else 0)
+            f_out = conv_out_size(f, c.kernel_feature, c.stride_feature,
+                                  pad_f)
+            if f_out <= 0:
+                raise ValueError(
+                    f"{where} conv layer {li} collapses the feature dim "
+                    f"{f} -> {f_out} (kernel_feature={c.kernel_feature}, "
+                    f"stride_feature={c.stride_feature}, "
+                    f"padding={c.padding.name}); with {in_features} input "
+                    f"features every conv output dim must be > 0")
+            f = f_out
+        return f
+
+    if isinstance(model_cfg, S.DeepSpeech2Config):
+        walk_conv_block(model_cfg.conv_block, in_features, "DeepSpeech2")
+    elif isinstance(model_cfg, S.EncoderDecoderConfig):
+        f = in_features
+        enc = model_cfg.encoder
+        if enc.vgg is not None:
+            f = vgg_output_size(enc.vgg, f)
+            if f <= 0:
+                raise ValueError(
+                    f"VGG frontend collapses the feature dim to {f} from "
+                    f"{in_features} input features; reduce "
+                    f"use_output_from_block or increase n_mels")
+        if enc.conv_block:
+            # ConvBlock sees the (possibly VGG-flattened) features as its
+            # input width (models/encoder_decoder.py::Encoder order).
+            walk_conv_block(enc.conv_block, f, "Encoder")
+
+
+def build_model(cfg: S.SpeechToTextConfig, dtype=jnp.bfloat16,
+                in_features: Optional[int] = None):
     V = vocab_size(cfg)
     m = cfg.model
+    if in_features is not None:
+        validate_model_shapes(m, in_features)
     if isinstance(m, S.DeepSpeech1Config):
         return DeepSpeech1(m, out_features=V, dtype=dtype)
     if isinstance(m, S.DeepSpeech2Config):
@@ -395,6 +441,9 @@ def build_dataset(cfg: S.DatasetConfig):
         return FakeSpeechToText(cfg)
     if isinstance(cfg, S.LibriSpeechConfig):
         return LibriSpeech(cfg)
+    if isinstance(cfg, S.SyntheticSpeechConfig):
+        from myrtlespeech_tpu.data.dataset.synthetic import SyntheticSpeech
+        return SyntheticSpeech(cfg)
     raise ValueError(f"unknown dataset config {type(cfg)}")
 
 
@@ -433,7 +482,9 @@ def build_task(cfg: S.TaskConfig, steps_per_epoch: int = 1000,
     stt = cfg.speech_to_text
     validate(stt)
     dtype = dtype or jnp.dtype(cfg.train_config.compute_dtype)
-    model = build_model(stt, dtype=dtype)
+    model = build_model(stt, dtype=dtype,
+                        in_features=preprocess_out_features(
+                            stt.pre_process_steps))
     tx, sched = build_optimizer(cfg.train_config, steps_per_epoch)
     return Task(
         cfg=cfg,

@@ -39,6 +39,20 @@ class MaskedConv2d(nn.Module):
         c = self.cfg
         pad_t = _pad_amount(c.padding, c.kernel_time)
         pad_f = _pad_amount(c.padding, c.kernel_feature)
+        # Static shape sanity: the reference's builders thread feature sizes
+        # downward and fail early; mirror that with a clear diagnostic
+        # instead of a downstream ZeroDivisionError inside init.
+        out_f = masking.conv_out_size(x.shape[2], c.kernel_feature,
+                                      c.stride_feature, pad_f)
+        out_t = masking.conv_out_size(x.shape[1], c.kernel_time,
+                                      c.stride_time, pad_t)
+        if out_f <= 0 or out_t <= 0:
+            raise ValueError(
+                f"MaskedConv2d collapses input (T={x.shape[1]}, "
+                f"F={x.shape[2]}) to (T={out_t}, F={out_f}) with "
+                f"kernel=({c.kernel_time},{c.kernel_feature}) "
+                f"stride=({c.stride_time},{c.stride_feature}) "
+                f"padding={c.padding.name}; every output dim must be > 0")
         # Zero padded frames so they cannot leak into valid outputs.
         x = masking.mask_sequence(x, lengths, time_axis=1)
         y = nn.Conv(
@@ -50,8 +64,10 @@ class MaskedConv2d(nn.Module):
             dtype=self.dtype,
             param_dtype=jnp.float32,
         )(x.astype(self.dtype))
-        out_lens = masking.conv_out_size(
-            lengths, c.kernel_time, c.stride_time, pad_t)
+        # Clamp at 0: a sequence shorter than the (unpadded) kernel has no
+        # valid output frames — the formula would go negative.
+        out_lens = jnp.maximum(masking.conv_out_size(
+            lengths, c.kernel_time, c.stride_time, pad_t), 0)
         if c.batch_norm:
             B, T, F, C = y.shape
             y = MaskedBatchNorm(dtype=self.dtype)(
