@@ -456,6 +456,29 @@ class FakeSpeechToTextConfig:
     seed: int = 0
 
 
+@dataclass(frozen=True)
+class SyntheticSpeechConfig:
+    """Deterministic formant-coded synthetic corpus with held-out splits.
+
+    TPU-native accuracy-evidence extension (no reference analogue — the
+    reference relies on LibriSpeech downloads, impossible here): audio is
+    a learnable function of the transcript, so trained WER on the
+    ``eval`` split measures real transduction generalisation.  See
+    ``data/dataset/synthetic.py``.
+    """
+
+    dataset_len: int = 1024
+    split: str = "train"  # "train" | "eval" (disjoint sentence draws)
+    symbols: str = "abcdefghijklmnopqrstuvwxyz "
+    n_words: int = 200  # pseudo-word bank size (shared across splits)
+    min_words: int = 2
+    max_words: int = 8
+    char_ms: float = 80.0  # mean per-character burst duration
+    noise_level: float = 0.05
+    sample_rate: int = 16000
+    seed: int = 0
+
+
 class LibriSpeechSubset(enum.Enum):
     TRAIN_CLEAN_100 = "train-clean-100"
     TRAIN_CLEAN_360 = "train-clean-360"
@@ -475,7 +498,8 @@ class LibriSpeechConfig:
     max_duration_s: Optional[float] = None
 
 
-DatasetConfig = Union[FakeSpeechToTextConfig, LibriSpeechConfig]
+DatasetConfig = Union[FakeSpeechToTextConfig, LibriSpeechConfig,
+                      SyntheticSpeechConfig]
 
 
 # ---------------------------------------------------------------------------
@@ -544,6 +568,10 @@ class TrainConfig:
     compute_dtype: str = "bfloat16"  # activations/matmuls; params stay fp32
     seed: int = 0
     debug_nans: bool = False  # jax_debug_nans toggle (SURVEY.md §5)
+    # Tensor-parallel degree over the ``model`` mesh axis (ICI); the
+    # ``data`` axis takes the remaining devices.  1 = pure DP.  With a
+    # single device the mesh is skipped entirely (same math, no GSPMD).
+    mesh_model: int = 1
 
 
 # ---------------------------------------------------------------------------

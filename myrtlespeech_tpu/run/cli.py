@@ -30,9 +30,33 @@ def main(argv=None) -> int:
                    help="cap batches per epoch (smoke runs)")
     p.add_argument("--no_decode", action="store_true",
                    help="skip decoding during eval (loss only)")
+    p.add_argument("--eval_only", action="store_true",
+                   help="skip training: restore from --checkpoint_dir "
+                        "(or init fresh) and run one eval pass with "
+                        "decoding + WER")
+    p.add_argument("--batch_size", type=int, default=None,
+                   help="override train_config.batch_size")
+    p.add_argument("--mesh_model", type=int, default=None,
+                   help="override train_config.mesh_model (TP degree)")
+    # Multi-host launch (BASELINE config 5): on TPU pods jax.distributed
+    # auto-detects all three from the environment; pass them explicitly
+    # elsewhere.  Single-process runs leave them unset (no-op).
+    p.add_argument("--coordinator", default=None,
+                   help="coordinator address host:port for multi-host init")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     args = p.parse_args(argv)
 
+    from myrtlespeech_tpu.parallel.mesh import initialize_distributed
+    initialize_distributed(coordinator=args.coordinator,
+                           num_processes=args.num_processes,
+                           process_id=args.process_id)
+
     cfg = load(args.config)
+    if args.mesh_model is not None:
+        from myrtlespeech_tpu.config.schema import replace
+        cfg = replace(cfg, train_config=replace(
+            cfg.train_config, mesh_model=args.mesh_model))
     steps_per_epoch = max(
         1, math.ceil(_dataset_len(cfg.train_dataset)
                      / cfg.train_config.batch_size))
@@ -43,23 +67,26 @@ def main(argv=None) -> int:
     if args.log_dir:
         cbs.append(C.CSVLogger(f"{args.log_dir}/metrics.csv"))
         cbs.append(C.TensorBoardLogger(args.log_dir))
-    initial_state, start_epoch = None, 0
+    initial_state, start_epoch, skip_batches = None, 0, 0
     if args.checkpoint_dir:
         from myrtlespeech_tpu.run.checkpoint import (CheckpointCallback,
                                                      CheckpointManager)
         mgr = CheckpointManager(args.checkpoint_dir)
-        cbs.append(CheckpointCallback(mgr))
+        if not args.eval_only:
+            cbs.append(CheckpointCallback(mgr))
         if args.resume and mgr.latest_step() is not None:
-            initial_state, start_epoch = _restore_state(
-                task, mgr, steps_per_epoch)
+            initial_state, start_epoch, skip_batches = _restore_state(
+                task, mgr)
             print(f"resumed from step {int(initial_state.step)} "
-                  f"(epoch {start_epoch})")
+                  f"(epoch {start_epoch}, batch {skip_batches})")
     if args.max_batches:
         cbs.append(C.StopEpochAfter(args.max_batches))
 
     handler = fit(task, epochs=args.epochs, callbacks=cbs,
+                  batch_size=args.batch_size,
                   decode_eval=not args.no_decode,
-                  initial_state=initial_state, start_epoch=start_epoch)
+                  initial_state=initial_state, start_epoch=start_epoch,
+                  skip_batches=skip_batches, eval_only=args.eval_only)
     print(json.dumps(handler.state.get("reports", {}), indent=2,
                      default=str))
     return 0
@@ -70,8 +97,9 @@ def _dataset_len(ds_cfg) -> int:
     return len(build_dataset(ds_cfg))
 
 
-def _restore_state(task, mgr, steps_per_epoch: int):
-    """Restore the latest TrainState; returns (state, epoch to resume at).
+def _restore_state(task, mgr):
+    """Restore the latest TrainState + exact data cursor; returns
+    ``(state, start_epoch, skip_batches)``.
 
     A template state (correct pytree structure/shapes) is initialised from
     one example batch, then overwritten by the checkpoint.
@@ -87,8 +115,8 @@ def _restore_state(task, mgr, steps_per_epoch: int):
     arrays = {k: v for k, v in batch.items() if k != "texts"}
     template = init_state(task, jax.random.PRNGKey(
         task.cfg.train_config.seed), arrays)
-    state = mgr.restore(template)
-    return state, int(state.step) // max(steps_per_epoch, 1)
+    state, cursor = mgr.restore_with_cursor(template)
+    return state, cursor["epoch"], cursor["batch_in_epoch"]
 
 
 if __name__ == "__main__":
