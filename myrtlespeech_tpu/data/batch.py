@@ -104,6 +104,20 @@ class BucketedLoader:
             b = bucket_for(d, self.audio_buckets)
             self._by_bucket.setdefault(b, []).append(i)
         self._epoch = 0
+        self._skip = 0
+
+    def set_epoch(self, epoch: int, skip_batches: int = 0) -> None:
+        """Pin the shuffle epoch (and optionally a batch cursor) for the
+        next ``__iter__``.
+
+        The shuffle RNG is keyed on ``(seed, epoch)`` so data order is a
+        pure function of the epoch number — exact checkpoint resume
+        (VERDICT r1 #6) re-creates a loader, calls ``set_epoch(e, skip)``
+        and sees the identical remaining batch sequence.  Without this
+        call, epochs count up from 0 as before.
+        """
+        self._epoch = epoch
+        self._skip = skip_batches
 
     def _duration(self, i: int) -> int:
         if hasattr(self.ds, "duration_samples"):
@@ -124,6 +138,7 @@ class BucketedLoader:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         rng = np.random.default_rng((self.seed, self._epoch))
         self._epoch += 1
+        skip, self._skip = self._skip, 0  # cursor applies to one epoch only
         plan = []  # (bucket, [indices])
         for b, idxs in sorted(self._by_bucket.items()):
             idxs = list(idxs)
@@ -138,7 +153,7 @@ class BucketedLoader:
                 plan.append((b, chunk, min(len(idxs) - k, self.batch_size)))
         if self.shuffle:
             rng.shuffle(plan)
-        for bucket, chunk, n_real in plan:
+        for bucket, chunk, n_real in plan[skip:]:
             samples = [self.ds[i] for i in chunk]
             label_max = max(1, max(len(t) for _, t in samples))
             label_pad = math.ceil(label_max / self.label_bucket) \
@@ -163,6 +178,9 @@ class PrefetchLoader:
 
     def __len__(self):
         return len(self.loader)
+
+    def set_epoch(self, epoch: int, skip_batches: int = 0) -> None:
+        self.loader.set_epoch(epoch, skip_batches)
 
     def __iter__(self):
         import queue

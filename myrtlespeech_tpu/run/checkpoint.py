@@ -30,8 +30,20 @@ class CheckpointManager:
             options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
                                                  create=True))
 
-    def save(self, step: int, state: TrainState, force: bool = False) -> None:
-        self._mgr.save(step, args=ocp.args.StandardSave(state._asdict()),
+    def save(self, step: int, state: TrainState, force: bool = False, *,
+             epoch: int = 0, batch_in_epoch: int = 0) -> None:
+        """Save TrainState + the data-loader cursor (epoch, batch index).
+
+        The cursor makes resume *exact* (SURVEY.md §5 checkpoint row):
+        data order is a pure function of ``(seed, epoch)``
+        (``BucketedLoader.set_epoch``), so ``(epoch, batch_in_epoch)``
+        pins the precise continuation point.
+        """
+        payload = dict(state._asdict())
+        payload["loader"] = {"epoch": np.asarray(epoch, np.int32),
+                             "batch_in_epoch": np.asarray(batch_in_epoch,
+                                                          np.int32)}
+        self._mgr.save(step, args=ocp.args.StandardSave(payload),
                        force=force)
 
     def wait(self) -> None:
@@ -42,31 +54,58 @@ class CheckpointManager:
 
     def restore(self, target: TrainState,
                 step: Optional[int] = None) -> TrainState:
+        state, _ = self.restore_with_cursor(target, step)
+        return state
+
+    def restore_with_cursor(self, target: TrainState,
+                            step: Optional[int] = None):
+        """Returns ``(TrainState, {"epoch": int, "batch_in_epoch": int})``."""
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        payload = dict(target._asdict())
+        payload["loader"] = {"epoch": np.asarray(0, np.int32),
+                             "batch_in_epoch": np.asarray(0, np.int32)}
         restored = self._mgr.restore(
-            step, args=ocp.args.StandardRestore(target._asdict()))
-        return TrainState(**restored)
+            step, args=ocp.args.StandardRestore(payload))
+        cursor = {k: int(v) for k, v in restored.pop("loader").items()}
+        return TrainState(**restored), cursor
 
 
 class CheckpointCallback(Callback):
-    """Save a checkpoint every N train epochs (and at train end)."""
+    """Save a checkpoint every N train epochs (and at train end).
+
+    Tracks the train-stage batch cursor so mid-epoch stops (early stop,
+    preemption via on_train_end) resume exactly where they left off.
+    """
 
     def __init__(self, manager: CheckpointManager, every_epochs: int = 1):
         self.manager = manager
         self.every_epochs = every_epochs
+        self._cursor = (0, 0)  # (epoch, batch_in_epoch) to resume at
+
+    def on_stage_end(self, ts):
+        if ts["stage"] is not Stage.TRAIN:
+            return
+        if ts.get("stop_epoch") or ts.get("stop_training"):
+            self._cursor = (ts["epoch"], ts.get("batch_index", 0))
+        else:
+            self._cursor = (ts["epoch"] + 1, 0)
 
     def on_epoch_end(self, ts):
         state = ts.get("train_state")
         if state is None:
             return
         if (ts["epoch"] + 1) % self.every_epochs == 0:
-            self.manager.save(int(state.step), state)
+            self.manager.save(int(state.step), state,
+                              epoch=self._cursor[0],
+                              batch_in_epoch=self._cursor[1])
 
     def on_train_end(self, ts):
         state = ts.get("train_state")
         if state is not None \
                 and self.manager.latest_step() != int(state.step):
-            self.manager.save(int(state.step), state, force=True)
+            self.manager.save(int(state.step), state, force=True,
+                              epoch=self._cursor[0],
+                              batch_in_epoch=self._cursor[1])
         self.manager.wait()
