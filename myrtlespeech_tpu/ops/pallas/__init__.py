@@ -2,8 +2,15 @@
 
 
 def pallas_lattice_supported(batch_size: int) -> bool:
-    """The lattice kernels' in-kernel row shifts are gated to B <= 8:
-    narrow concat fills mis-compile for larger B and pltpu.roll hangs the
-    Mosaic compiler (both observed on v5e, JAX 0.9).  Larger batches use
-    the pure-lax lattice (ops/ctc.py, ops/rnnt.py)."""
-    return batch_size <= 8
+    """Whether the Pallas lattice kernels serve this batch size.
+
+    The kernels' in-kernel row shifts are Mosaic-correct only for <= 8
+    rows per call (narrow concat fills mis-compile for larger B and
+    pltpu.roll hangs the compiler; observed on v5e, JAX 0.9), so larger
+    batches are tiled into ceil(B/8) slab calls
+    (``rnnt_kernel.rnnt_lattice`` / ``ctc_kernel.ctc_lattice``).  The cap
+    here only bounds unrolled slab count; whether Pallas or the pure-lax
+    lattice (ops/ctc.py, ops/rnnt.py) wins at a given shape is measured
+    in docs/performance.md.
+    """
+    return batch_size <= 512  # 64 slabs; beyond this unrolling is silly

@@ -180,6 +180,29 @@ def _vjp_bwd(res, g):
 
 ctc_lattice_pallas.defvjp(_vjp_fwd, _vjp_bwd)
 
+_SLAB = 8  # max rows per kernel call (Mosaic miscompiles beyond; see _sr)
+
+
+def ctc_lattice(lp_ext, can_skip, label_lens):
+    """Batch-slab wrapper: any B via ceil(B/8) kernel calls of <= 8 rows
+    (VERDICT r1 #3; same rationale as rnnt_kernel.rnnt_lattice).  Pad
+    rows contribute ll = log-sum over an all-NEG_INF-except-blank row and
+    are sliced off before use; their grads are zero."""
+    B = lp_ext.shape[0]
+    if B <= _SLAB:
+        return ctc_lattice_pallas(lp_ext, can_skip, label_lens)
+    pad = (-B) % _SLAB
+    if pad:
+        lp_ext = jnp.pad(lp_ext, ((0, pad), (0, 0), (0, 0)))
+        can_skip = jnp.pad(can_skip, ((0, pad), (0, 0)))
+        label_lens = jnp.pad(label_lens, (0, pad))
+    parts = [
+        ctc_lattice_pallas(lp_ext[i:i + _SLAB], can_skip[i:i + _SLAB],
+                           label_lens[i:i + _SLAB])
+        for i in range(0, B + pad, _SLAB)
+    ]
+    return jnp.concatenate(parts)[:B]
+
 
 def ctc_loss_pallas(logits, logit_lens, labels, label_lens,
                     blank_index: int = 0, reduction: str = "mean"):
@@ -209,7 +232,7 @@ def ctc_loss_pallas(logits, logit_lens, labels, label_lens,
         diff = (labels[:, 1:] != labels[:, :-1]).astype(jnp.float32)
         can_skip = can_skip.at[:, 3::2].set(diff)
 
-    ll = ctc_lattice_pallas(lp_ext, can_skip, label_lens)
+    ll = ctc_lattice(lp_ext, can_skip, label_lens)
     # The pad transformation wrote constants into lp_ext; their gradients
     # are killed by the jnp.where above during autodiff automatically.
     nll = -ll

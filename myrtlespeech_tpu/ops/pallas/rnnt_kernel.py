@@ -265,6 +265,36 @@ def _vjp_bwd(res, g):
 
 rnnt_lattice_pallas.defvjp(_vjp_fwd, _vjp_bwd)
 
+_SLAB = 8  # max rows per kernel call (Mosaic miscompiles beyond; see gate)
+
+
+def rnnt_lattice(lp_blank, lp_emit, logit_lens, label_lens):
+    """Batch-slab wrapper: any B via ceil(B/8) kernel calls of <= 8 rows.
+
+    The in-kernel row shifts are only Mosaic-correct for B <= 8 (see
+    ``_shift_right``); tiling the batch into slabs keeps each call inside
+    that envelope while serving production batch sizes (VERDICT r1 #3).
+    Pad rows (B % 8 != 0) get ``logit_len = 0`` — the pad-invariant
+    lattice yields ll = 0 and zero gradients for them.
+    """
+    B = lp_blank.shape[0]
+    if B <= _SLAB:
+        return rnnt_lattice_pallas(lp_blank, lp_emit, logit_lens,
+                                   label_lens)
+    pad = (-B) % _SLAB
+    if pad:
+        lp_blank = jnp.pad(lp_blank, ((0, pad), (0, 0), (0, 0)))
+        lp_emit = jnp.pad(lp_emit, ((0, pad), (0, 0), (0, 0)))
+        logit_lens = jnp.pad(logit_lens, (0, pad))
+        label_lens = jnp.pad(label_lens, (0, pad))
+    parts = [
+        rnnt_lattice_pallas(lp_blank[i:i + _SLAB], lp_emit[i:i + _SLAB],
+                            logit_lens[i:i + _SLAB],
+                            label_lens[i:i + _SLAB])
+        for i in range(0, B + pad, _SLAB)
+    ]
+    return jnp.concatenate(parts)[:B]
+
 
 def rnnt_loss_pallas(logits, logit_lens, labels, label_lens,
                      blank_index: int = 0, reduction: str = "mean"):
@@ -279,7 +309,7 @@ def rnnt_loss_pallas(logits, logit_lens, labels, label_lens,
     lab = jnp.concatenate(
         [labels.astype(jnp.int32), jnp.zeros((B, 1), jnp.int32)], axis=1)
     lp_emit = jnp.take_along_axis(lp, lab[:, None, :, None], axis=3)[..., 0]
-    ll = rnnt_lattice_pallas(lp_blank, lp_emit, logit_lens, label_lens)
+    ll = rnnt_lattice(lp_blank, lp_emit, logit_lens, label_lens)
     nll = -ll
     if reduction == "none":
         return nll

@@ -77,3 +77,22 @@ def test_nonzero_blank_and_reductions():
     ref = rnnt_loss(logits, tl, labels, ll, blank_index=V - 1,
                     reduction="mean")
     np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+
+
+@pytest.mark.parametrize("B", [16, 20])
+def test_slab_tiling_matches_lax(B):
+    """B > 8 runs through the batch-slab wrapper (incl. a ragged slab at
+    B=20); values and gradients must still match the lax lattice."""
+    args = _case(B=B, seed=7)
+    with pltpu.force_tpu_interpret_mode():
+        ours = rnnt_loss_pallas(*args, reduction="none")
+        g_ours = jax.grad(
+            lambda lg: rnnt_loss_pallas(lg, *args[1:], reduction="sum")
+        )(args[0])
+    ref = rnnt_loss(*args, reduction="none")
+    g_ref = jax.grad(
+        lambda lg: rnnt_loss(lg, *args[1:], reduction="sum"))(args[0])
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_ours), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
