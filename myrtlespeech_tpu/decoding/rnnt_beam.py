@@ -112,9 +112,20 @@ def rnnt_beam_decode(
                 # only applies the blank move (emissions masked below), so
                 # the reference's "forced blank after max_symbols_per_step"
                 # is folded into the loop — no separate joint eval after it.
+                #
+                # Graves-style pruning (the big throughput lever): symbol
+                # extensions only ever LOWER a score (log-probs <= 0), so
+                # once the best expanding hypothesis is below the W-th
+                # best finished score, no descendant can enter the beam —
+                # stop expanding.  This cuts rounds/frame from
+                # max_symbols_per_step+1 to ~2 on speech-like posteriors
+                # (same pruning rule as the reference's Algorithm-1 loop
+                # "while |B more probable than max A| < W").
                 r, fin, exp = loop
+                fin_min = jnp.min(fin["score"])  # W-th best of W slots
+                cutoff = jnp.maximum(fin_min, NEG_INF / 2)
                 return (r <= max_symbols_per_step) & \
-                    jnp.any(exp["score"] > NEG_INF / 2)
+                    jnp.any(exp["score"] > cutoff)
 
             def body(loop):
                 r, fin, exp = loop
