@@ -1,0 +1,124 @@
+"""Deterministic synthetic speech corpus with a held-out eval split.
+
+Accuracy-evidence backbone (VERDICT r1 #4): LibriSpeech cannot be
+downloaded in this environment (no egress), so WER claims need a corpus
+whose audio/transcript relationship must be *learned* (unlike
+``fake.py``, whose audio is noise).  Every character is rendered as a
+short formant-coded tone burst (two sinusoids unique to the symbol, a
+pitch contour, amplitude envelope, additive noise, random per-utterance
+gain/speed), words are drawn from a deterministic pseudo-word bank, and
+sentences are composed per-(seed, index) — so a model must genuinely
+transduce audio patterns to character sequences, and a held-out split
+(different sentence draws, same generative process) measures
+generalisation, not memorisation.
+
+This plays the role of the reference's LibriSpeech recipes for accuracy
+parity experiments (``src/myrtlespeech/data/dataset/librispeech.py`` in
+spirit); see docs/performance.md for trained WER numbers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from myrtlespeech_tpu.config.schema import SyntheticSpeechConfig
+
+
+def _word_bank(rng: np.random.Generator, n_words: int, symbols: str):
+    """Deterministic pseudo-words, 2-7 chars from ``symbols``."""
+    words = []
+    syms = list(symbols)
+    for _ in range(n_words):
+        n = int(rng.integers(2, 8))
+        words.append("".join(rng.choice(syms) for _ in range(n)))
+    return words
+
+
+class SyntheticSpeech:
+    """Map-style dataset: ``ds[i] -> (waveform float32 (S,), transcript)``.
+
+    Audio synthesis per character:
+    - two sinusoids with symbol-specific frequencies (``f1`` in
+      300-1200 Hz, ``f2`` in 1500-4000 Hz — a crude formant pair),
+    - a per-utterance pitch multiplier and speaking rate (duration
+      jitter), so the model cannot key on exact frequencies/durations,
+    - a raised-cosine amplitude envelope per burst and white noise at
+      ``noise_level`` — adjacent bursts overlap slightly (coarticulation).
+
+    Space is rendered as a low-energy gap.  Everything is a pure function
+    of ``(seed, split, index)``.
+    """
+
+    def __init__(self, cfg: SyntheticSpeechConfig):
+        self.cfg = cfg
+        self.sample_rate = cfg.sample_rate
+        bank_rng = np.random.default_rng(cfg.seed)
+        symbols = cfg.symbols.replace(" ", "")
+        self.words = _word_bank(bank_rng, cfg.n_words, symbols)
+        # Per-symbol formant pair, fixed for the corpus.
+        self._freqs = {}
+        syms = sorted(set(symbols))
+        for k, s in enumerate(syms):
+            self._freqs[s] = (300.0 + 900.0 * k / max(len(syms) - 1, 1),
+                              1500.0 + 2500.0 * ((k * 7) % len(syms))
+                              / max(len(syms) - 1, 1))
+        self._split_salt = {"train": 0, "eval": 1}[cfg.split]
+
+    def __len__(self) -> int:
+        return self.cfg.dataset_len
+
+    def _transcript(self, rng: np.random.Generator) -> str:
+        n = int(rng.integers(self.cfg.min_words, self.cfg.max_words + 1))
+        return " ".join(
+            self.words[int(rng.integers(len(self.words)))]
+            for _ in range(n))
+
+    def _render(self, rng: np.random.Generator, text: str) -> np.ndarray:
+        sr = self.sample_rate
+        rate = float(rng.uniform(0.85, 1.15))    # speaking rate
+        pitch = float(rng.uniform(0.9, 1.1))     # per-utterance pitch
+        gain = float(rng.uniform(0.5, 1.0))
+        bursts = []
+        for ch in text:
+            dur = self.cfg.char_ms * rate * float(rng.uniform(0.8, 1.2))
+            n = max(int(sr * dur / 1000.0), 8)
+            t = np.arange(n, dtype=np.float32) / sr
+            if ch == " ":
+                bursts.append(np.zeros(n, np.float32))
+                continue
+            f1, f2 = self._freqs[ch]
+            phase1 = float(rng.uniform(0, 2 * np.pi))
+            phase2 = float(rng.uniform(0, 2 * np.pi))
+            env = 0.5 - 0.5 * np.cos(
+                2 * np.pi * np.arange(n, dtype=np.float32) / n)
+            w = env * (np.sin(2 * np.pi * f1 * pitch * t + phase1)
+                       + 0.6 * np.sin(2 * np.pi * f2 * pitch * t + phase2))
+            bursts.append(w.astype(np.float32))
+        wav = np.concatenate(bursts) if bursts else np.zeros(8, np.float32)
+        wav = gain * wav + self.cfg.noise_level * rng.standard_normal(
+            len(wav)).astype(np.float32)
+        return wav.astype(np.float32)
+
+    def __getitem__(self, index: int):
+        rng = np.random.default_rng(
+            (self.cfg.seed, self._split_salt, index))
+        text = self._transcript(rng)
+        return self._render(rng, text), text
+
+    def duration_samples(self, index: int) -> int:
+        # Approximate (exact requires rendering); used only for bucketing.
+        rng = np.random.default_rng(
+            (self.cfg.seed, self._split_salt, index))
+        text = self._transcript(rng)
+        # Mirror the per-char duration draws without synthesis.
+        rate = float(rng.uniform(0.85, 1.15))
+        rng.uniform(0.9, 1.1)   # pitch (unused for duration)
+        rng.uniform(0.5, 1.0)   # gain
+        total = 0
+        for ch in text:
+            dur = self.cfg.char_ms * rate * float(rng.uniform(0.8, 1.2))
+            total += max(int(self.sample_rate * dur / 1000.0), 8)
+            if ch != " ":  # keep rng stream aligned with _render
+                rng.uniform(0, 2 * np.pi)
+                rng.uniform(0, 2 * np.pi)
+        return max(total, 8)

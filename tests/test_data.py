@@ -115,3 +115,73 @@ def test_host_sharding_partitions():
         n = sum(int(b["n_real"]) for b in loader)
         seen.append(n)
     assert seen == [10, 10]
+
+
+class TestSyntheticSpeech:
+    """Deterministic synthetic corpus (data/dataset/synthetic.py)."""
+
+    def _cfg(self, **kw):
+        from myrtlespeech_tpu.config.schema import SyntheticSpeechConfig
+        return SyntheticSpeechConfig(dataset_len=8, n_words=20,
+                                     min_words=1, max_words=3, **kw)
+
+    def test_deterministic_and_split_disjoint(self):
+        from myrtlespeech_tpu.data.dataset.synthetic import SyntheticSpeech
+        a = SyntheticSpeech(self._cfg())
+        b = SyntheticSpeech(self._cfg())
+        w0, t0 = a[3]
+        w1, t1 = b[3]
+        assert t0 == t1
+        np.testing.assert_array_equal(w0, w1)
+        ev = SyntheticSpeech(self._cfg(split="eval"))
+        # Same generative process, different sentence draws.
+        assert [ev[i][1] for i in range(8)] != [a[i][1] for i in range(8)]
+
+    def test_duration_matches_render(self):
+        from myrtlespeech_tpu.data.dataset.synthetic import SyntheticSpeech
+        ds = SyntheticSpeech(self._cfg())
+        for i in range(8):
+            wav, text = ds[i]
+            assert ds.duration_samples(i) == len(wav)
+            assert wav.dtype == np.float32
+            assert set(text) <= set(ds.cfg.symbols)
+
+    def test_distinct_chars_distinct_audio(self):
+        """Different transcripts produce audibly different signals (the
+        corpus is learnable, unlike the fake dataset's pure noise)."""
+        from myrtlespeech_tpu.config.schema import SyntheticSpeechConfig
+        from myrtlespeech_tpu.data.dataset.synthetic import SyntheticSpeech
+        ds = SyntheticSpeech(SyntheticSpeechConfig(dataset_len=4))
+        rng = np.random.default_rng(0)
+        wa = ds._render(rng, "aaaa")
+        rng = np.random.default_rng(0)
+        wb = ds._render(rng, "zzzz")
+        n = min(len(wa), len(wb))
+        corr = np.corrcoef(wa[:n], wb[:n])[0, 1]
+        assert abs(corr) < 0.5
+
+    def test_builder_integration(self):
+        from myrtlespeech_tpu.builders.build import build_dataset
+        ds = build_dataset(self._cfg())
+        assert len(ds) == 8
+
+
+def test_loader_shard_determinism():
+    """Union of per-host shards == the dataset, no overlap (SURVEY §2.10
+    N6 / VERDICT r1 #7): every sample index is read by exactly one host."""
+    from myrtlespeech_tpu.config.schema import SyntheticSpeechConfig
+    from myrtlespeech_tpu.data.dataset.synthetic import SyntheticSpeech
+
+    ds = SyntheticSpeech(SyntheticSpeechConfig(
+        dataset_len=23, n_words=10, min_words=1, max_words=2))
+    alphabet = Alphabet("_abcdefghijklmnopqrstuvwxyz ")
+    seen = []
+    for shard in range(3):
+        loader = BucketedLoader(ds, alphabet, batch_size=2, shuffle=False,
+                                shard_id=shard, num_shards=3)
+        seen.extend(loader._indices)
+    assert sorted(seen) == list(range(23))
+    # Deterministic across constructions.
+    l2 = BucketedLoader(ds, alphabet, batch_size=2, shuffle=False,
+                        shard_id=1, num_shards=3)
+    assert l2._indices == [i for i in range(23) if i % 3 == 1]
