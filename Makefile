@@ -8,7 +8,7 @@ native:
 	$(MAKE) -C myrtlespeech_tpu/native
 
 test:
-	python -m pytest tests/ -q
+	python -m pytest tests/ -q -n auto
 
 bench:
 	python bench.py

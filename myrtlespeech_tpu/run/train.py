@@ -254,7 +254,9 @@ def fit(task: Task, epochs: Optional[int] = None, callbacks=(),
     epochs = epochs if epochs is not None else tc.epochs
     batch_size = batch_size or tc.batch_size
     seed = seed if seed is not None else tc.seed
-    if mesh is None and (len(jax.devices()) > 1 or tc.mesh_model > 1):
+    if mesh is False:  # explicit single-device opt-out (tests, debugging)
+        mesh = None
+    elif mesh is None and (len(jax.devices()) > 1 or tc.mesh_model > 1):
         from myrtlespeech_tpu.parallel.mesh import make_mesh
         n = len(jax.devices())
         model_size = tc.mesh_model

@@ -124,7 +124,8 @@ def test_stop_epoch_after():
     cfg = _tiny_ctc_cfg(epochs=1)
     task = build_task(cfg, steps_per_epoch=4)
     rec = _RecordLosses()
-    fit(task, callbacks=[rec, C.StopEpochAfter(2)], decode_eval=False)
+    fit(task, callbacks=[rec, C.StopEpochAfter(2)], decode_eval=False,
+        mesh=False)
     assert len(rec.losses) == 2
 
 
@@ -133,7 +134,7 @@ def test_csv_logger(tmp_path):
     task = build_task(cfg, steps_per_epoch=4)
     path = str(tmp_path / "log.csv")
     fit(task, callbacks=[C.CSVLogger(path), C.StopEpochAfter(2)],
-        decode_eval=False)
+        decode_eval=False, mesh=False)
     lines = open(path).read().strip().splitlines()
     assert lines[0].startswith("step,")
     assert len(lines) >= 3
@@ -181,7 +182,7 @@ def test_resume_equivalence(tmp_path):
             if resume:
                 from myrtlespeech_tpu.run.cli import _restore_state
                 initial_state, start_epoch, skip = _restore_state(task, mgr)
-        handler = fit(task, callbacks=cbs, decode_eval=False,
+        handler = fit(task, callbacks=cbs, decode_eval=False, mesh=False,
                       initial_state=initial_state, start_epoch=start_epoch,
                       skip_batches=skip)
         return handler.state["train_state"]
@@ -206,18 +207,20 @@ def test_resume_equivalence_mid_epoch(tmp_path):
     def make_task():
         return build_task(_tiny_ctc_cfg(epochs=1), steps_per_epoch=4)
 
-    straight = fit(make_task(), decode_eval=False
+    straight = fit(make_task(), decode_eval=False, mesh=False
                    ).state["train_state"]  # 4 batches
 
     ckpt = str(tmp_path / "ck")
     mgr = CheckpointManager(ckpt)
     fit(make_task(), callbacks=[CheckpointCallback(mgr),
-                                C.StopEpochAfter(2)], decode_eval=False)
+                                C.StopEpochAfter(2)], decode_eval=False,
+        mesh=False)
     from myrtlespeech_tpu.run.cli import _restore_state
     task = make_task()
     state, epoch, skip = _restore_state(task, CheckpointManager(ckpt))
     assert (epoch, skip) == (0, 2)
-    resumed = fit(task, decode_eval=False, initial_state=state,
+    resumed = fit(task, decode_eval=False, mesh=False,
+                  initial_state=state,
                   start_epoch=epoch, skip_batches=skip
                   ).state["train_state"]
 
@@ -249,7 +252,8 @@ def test_fit_with_ctc_beam_eval():
                                                 prune_threshold=1e-3)))
     task = build_task(cfg, steps_per_epoch=4)
     handler = fit(task, callbacks=[C.ReportMeanBatchLoss(),
-                                   C.ReportDecoderWER(task.alphabet)])
+                                   C.ReportDecoderWER(task.alphabet)],
+                  mesh=False)
     reports = handler.state["reports"]
     assert "wer" in reports and np.isfinite(reports["wer"])
 
@@ -265,5 +269,6 @@ def test_fit_rnnt_beam_eval():
                 blank_index=0, beam_width=4, max_symbols_per_step=2,
                 length_norm=True)))
     task = build_task(cfg, steps_per_epoch=2)
-    handler = fit(task, callbacks=[C.ReportDecoderWER(task.alphabet)])
+    handler = fit(task, callbacks=[C.ReportDecoderWER(task.alphabet)],
+                  mesh=False)
     assert "wer" in handler.state["reports"]

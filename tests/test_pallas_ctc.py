@@ -80,7 +80,7 @@ def test_zero_length_targets_and_blank_index():
                                rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.parametrize("B", [16, 20])
+@pytest.mark.parametrize("B", [20])
 def test_slab_tiling_matches_lax(B):
     """B > 8 runs through the batch-slab wrapper (incl. a ragged slab at
     B=20); values and gradients must still match the lax lattice."""

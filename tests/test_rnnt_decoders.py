@@ -77,7 +77,7 @@ def _helpers(m, vars_, cfg):
     return predict_step, joint_step, init_state_fn
 
 
-@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("seed", [0, 1])
 def test_beam_finds_map_sequence(seed):
     V = 4
     m, vars_, cfg, x, lens = _tiny_model(V=V, seed=seed)
