@@ -56,7 +56,8 @@ task_config = TaskConfig(
         batch_size=32, epochs=12,
         optimizer=AdamConfig(learning_rate=4e-4),
         lr_scheduler=CosineAnnealingLRConfig(t_max_epochs=12),
-        lr_warmup_steps=300, grad_clip_norm=5.0),
+        lr_warmup_steps=300, grad_clip_norm=5.0,
+        audio_bucket_growth=1.7, label_bucket=64),
     train_dataset=SyntheticSpeechConfig(dataset_len=4096, split="train"),
     eval_dataset=SyntheticSpeechConfig(dataset_len=256, split="eval"),
 )

@@ -572,6 +572,12 @@ class TrainConfig:
     # ``data`` axis takes the remaining devices.  1 = pure DP.  With a
     # single device the mesh is skipped entirely (same math, no GSPMD).
     mesh_model: int = 1
+    # Recompilation control (SURVEY.md §7 hard-part 3): audio bucket
+    # ladder growth factor and label-length padding quantum.  Coarser
+    # values (e.g. 1.6 / 64) trade padding waste for fewer compiled
+    # train/eval step shapes — decisive when compiles ride a slow link.
+    audio_bucket_growth: float = 1.26
+    label_bucket: int = 32
 
 
 # ---------------------------------------------------------------------------

@@ -75,6 +75,7 @@ class BucketedLoader:
 
     def __init__(self, dataset, alphabet: Alphabet, batch_size: int, *,
                  audio_buckets: Optional[Sequence[int]] = None,
+                 bucket_growth: float = 1.26,
                  label_bucket: int = 32, shuffle: bool = True, seed: int = 0,
                  drop_remainder: bool = False,
                  shard_id: int = 0, num_shards: int = 1):
@@ -97,7 +98,8 @@ class BucketedLoader:
             vals = list(durations.values())
             mx = max(vals) if vals else 16000
             mn = max(min(vals) if vals else 1600, 1600)
-            audio_buckets = geometric_buckets(mn, max(mx, mn + 1))
+            audio_buckets = geometric_buckets(mn, max(mx, mn + 1),
+                                              growth=bucket_growth)
         self.audio_buckets = tuple(audio_buckets)
         self._by_bucket: Dict[int, List[int]] = {}
         for i, d in durations.items():

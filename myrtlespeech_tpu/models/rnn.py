@@ -29,14 +29,22 @@ def _gate_count(t: RNNType) -> int:
 
 
 def _use_pallas_lstm(cfg: RNNConfig, dtype, B: int) -> bool:
-    """Auto-select the fused Pallas kernel on TPU when shapes allow."""
+    """Auto-select the fused Pallas kernel on TPU when shapes allow.
+
+    Disabled under an active TP mesh: pallas_call is opaque to GSPMD, so
+    model-axis-sharded gate matrices would be gathered per step (see
+    ``parallel/sharding.py::PALLAS_TP_GUARD``); the lax scan partitions
+    cleanly instead.
+    """
     import jax
 
     from myrtlespeech_tpu.ops.pallas.lstm_kernel import pallas_lstm_supported
+    from myrtlespeech_tpu.parallel.sharding import PALLAS_TP_GUARD
 
     return (cfg.rnn_type is RNNType.LSTM
             and dtype == jnp.bfloat16
             and jax.default_backend() == "tpu"
+            and PALLAS_TP_GUARD["model_size"] == 1
             and pallas_lstm_supported(B, cfg.hidden_size))
 
 

@@ -180,6 +180,8 @@ class CSVLogger(Callback):
                                           extrasaction="ignore")
             self._writer.writeheader()
         self._writer.writerow(row)
+        # Flush so long runs are monitorable (tail -f) while in flight.
+        self._file.flush()
 
     def on_train_end(self, ts):
         if self._file:

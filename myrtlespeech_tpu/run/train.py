@@ -279,6 +279,8 @@ def fit(task: Task, epochs: Optional[int] = None, callbacks=(),
                 f"gets equal batch shards")
     lk = dict(loader_kwargs or {})
     prefetch = lk.pop("prefetch", 2)
+    lk.setdefault("bucket_growth", tc.audio_bucket_growth)
+    lk.setdefault("label_bucket", tc.label_bucket)
     # Multi-host input pipeline (SURVEY.md §2.10 N6): each host reads its
     # own shard of the dataset by default; explicit shard kwargs win.
     if jax.process_count() > 1:
