@@ -78,7 +78,8 @@ class BucketedLoader:
                  bucket_growth: float = 1.26,
                  label_bucket: int = 32, shuffle: bool = True, seed: int = 0,
                  drop_remainder: bool = False,
-                 shard_id: int = 0, num_shards: int = 1):
+                 shard_id: int = 0, num_shards: int = 1,
+                 num_workers: int = 0):
         """``shard_id``/``num_shards``: per-host sharding for multi-host
         input pipelines (SURVEY.md §2.10 N6) — host k reads indices
         ``i % num_shards == k``; deterministic datasets need no
@@ -90,6 +91,12 @@ class BucketedLoader:
         self.shuffle = shuffle
         self.seed = seed
         self.drop_remainder = drop_remainder
+        # Worker threads for sample fetch (audio read/decode/synthesis) —
+        # the counterpart of the reference's DataLoader num_workers
+        # processes (SURVEY.md §2.10 N6).  Threads suffice: decoding is
+        # numpy/IO-bound and releases the GIL; 0 = synchronous.
+        self.num_workers = num_workers
+        self._pool = None
         self._indices = [i for i in range(len(dataset))
                          if i % num_shards == shard_id]
 
@@ -155,8 +162,14 @@ class BucketedLoader:
                 plan.append((b, chunk, min(len(idxs) - k, self.batch_size)))
         if self.shuffle:
             rng.shuffle(plan)
+        if self.num_workers > 0 and self._pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(self.num_workers)
         for bucket, chunk, n_real in plan[skip:]:
-            samples = [self.ds[i] for i in chunk]
+            if self._pool is not None:
+                samples = list(self._pool.map(self.ds.__getitem__, chunk))
+            else:
+                samples = [self.ds[i] for i in chunk]
             label_max = max(1, max(len(t) for _, t in samples))
             label_pad = math.ceil(label_max / self.label_bucket) \
                 * self.label_bucket

@@ -281,6 +281,7 @@ def fit(task: Task, epochs: Optional[int] = None, callbacks=(),
     prefetch = lk.pop("prefetch", 2)
     lk.setdefault("bucket_growth", tc.audio_bucket_growth)
     lk.setdefault("label_bucket", tc.label_bucket)
+    lk.setdefault("num_workers", 4)  # sample-fetch threads (N6 workers)
     # Multi-host input pipeline (SURVEY.md §2.10 N6): each host reads its
     # own shard of the dataset by default; explicit shard kwargs win.
     if jax.process_count() > 1:

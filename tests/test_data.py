@@ -185,3 +185,19 @@ def test_loader_shard_determinism():
     l2 = BucketedLoader(ds, alphabet, batch_size=2, shuffle=False,
                         shard_id=1, num_shards=3)
     assert l2._indices == [i for i in range(23) if i % 3 == 1]
+
+
+def test_loader_num_workers_same_batches():
+    """Threaded sample fetch must not change batch contents or order."""
+    from myrtlespeech_tpu.config.schema import SyntheticSpeechConfig
+    from myrtlespeech_tpu.data.dataset.synthetic import SyntheticSpeech
+
+    ds = SyntheticSpeech(SyntheticSpeechConfig(
+        dataset_len=12, n_words=10, min_words=1, max_words=2))
+    alphabet = Alphabet("_abcdefghijklmnopqrstuvwxyz ")
+    a = BucketedLoader(ds, alphabet, 4, shuffle=True, seed=3)
+    b = BucketedLoader(ds, alphabet, 4, shuffle=True, seed=3, num_workers=3)
+    for ba, bb in zip(a, b):
+        np.testing.assert_array_equal(ba["wav"], bb["wav"])
+        np.testing.assert_array_equal(ba["labels"], bb["labels"])
+        assert ba["texts"] == bb["texts"]
