@@ -24,3 +24,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent XLA compile cache: the suite is compile-bound (every fit()
+# test builds real train/eval graphs), and the same tiny graphs recompile
+# on every run and in every xdist worker.  The cache is keyed on HLO +
+# flags, so correctness is XLA's problem, not ours; warm runs cut suite
+# wall time massively.
+import os as _os  # noqa: E402
+
+_cache = _os.environ.get("MYRTLE_TEST_JAX_CACHE",
+                         "/tmp/myrtle_test_jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
