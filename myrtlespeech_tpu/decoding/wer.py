@@ -30,14 +30,34 @@ def _native_batch(refs: List[Sequence[str]], hyps: List[Sequence[str]]):
     return edit_distance_batch(refs, hyps)
 
 
-def error_rate(refs: List[Sequence], hyps: List[Sequence]) -> float:
-    """Sum of edit distances / total reference length (as a fraction)."""
+def error_counts(refs: List[Sequence], hyps: List[Sequence]
+                 ) -> Tuple[int, int]:
+    """``(sum of edit distances, total reference length)`` — the
+    sufficient statistics of an error rate, so shards can be aggregated
+    exactly across hosts (multi-host eval) before dividing."""
     try:
         dists = _native_batch(refs, hyps)
     except Exception:
         dists = [edit_distance(r, h) for r, h in zip(refs, hyps)]
-    total = sum(len(r) for r in refs)
-    return sum(dists) / max(total, 1)
+    return sum(dists), sum(len(r) for r in refs)
+
+
+def error_rate(refs: List[Sequence], hyps: List[Sequence]) -> float:
+    """Sum of edit distances / total reference length (as a fraction)."""
+    dist, total = error_counts(refs, hyps)
+    return dist / max(total, 1)
+
+
+def wer_counts(ref_transcripts: List[str], hyp_transcripts: List[str]
+               ) -> Tuple[int, int]:
+    return error_counts([r.split() for r in ref_transcripts],
+                        [h.split() for h in hyp_transcripts])
+
+
+def cer_counts(ref_transcripts: List[str], hyp_transcripts: List[str]
+               ) -> Tuple[int, int]:
+    return error_counts([list(r) for r in ref_transcripts],
+                        [list(h) for h in hyp_transcripts])
 
 
 def wer(ref_transcripts: List[str], hyp_transcripts: List[str]) -> float:

@@ -144,10 +144,22 @@ class ReportDecoderWER(Callback):
     def on_stage_end(self, ts):
         if ts["stage"] is not Stage.EVAL or not self.refs:
             return
-        from myrtlespeech_tpu.decoding.wer import cer, wer
+        from myrtlespeech_tpu.decoding.wer import cer_counts, wer_counts
+        wd, wt = wer_counts(self.refs, self.hyps)
+        cd, ct = cer_counts(self.refs, self.hyps)
+        # Multi-host eval (BASELINE config 5): each host decoded its own
+        # dataset shard; sum the sufficient statistics across processes
+        # so the reported WER/CER is the exact corpus-level rate.
+        import jax
+        if jax.process_count() > 1:
+            import numpy as np
+            from jax.experimental import multihost_utils
+            agg = multihost_utils.process_allgather(
+                np.asarray([wd, wt, cd, ct], np.int64))
+            wd, wt, cd, ct = [int(x) for x in agg.sum(axis=0)]
         r = ts.setdefault("reports", {})
-        r["wer"] = wer(self.refs, self.hyps)
-        r["cer"] = cer(self.refs, self.hyps)
+        r["wer"] = wd / max(wt, 1)
+        r["cer"] = cd / max(ct, 1)
         for i in range(min(self.log_transcripts, len(self.refs))):
             r[f"transcript_{i}"] = {"ref": self.refs[i],
                                     "hyp": self.hyps[i]}

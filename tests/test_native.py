@@ -29,3 +29,19 @@ def test_string_tokens():
     except Exception as e:
         pytest.skip(f"native lib unavailable: {e}")
     assert got == [1, 1]
+
+
+def test_error_counts_aggregation():
+    """error_counts are the exact sufficient statistics: summing shard
+    counts reproduces the corpus-level rate (multi-host eval semantics)."""
+    from myrtlespeech_tpu.decoding.wer import error_rate, wer_counts
+
+    refs = ["the cat sat", "on the mat", "a dog", "ran far away"]
+    hyps = ["the cat sit", "on mat", "a dog", "ran very far away"]
+    d_all, t_all = wer_counts(refs, hyps)
+    d1, t1 = wer_counts(refs[:2], hyps[:2])
+    d2, t2 = wer_counts(refs[2:], hyps[2:])
+    assert (d1 + d2, t1 + t2) == (d_all, t_all)
+    assert abs(error_rate([r.split() for r in refs],
+                          [h.split() for h in hyps])
+               - d_all / t_all) < 1e-12
