@@ -34,5 +34,11 @@ import os as _os  # noqa: E402
 
 _cache = _os.environ.get("MYRTLE_TEST_JAX_CACHE",
                          "/tmp/myrtle_test_jax_cache")
+# Per-xdist-worker subdirectory: worker names (gw0, gw1, ...) are stable
+# across runs, so each worker still hits a warm cache, while concurrent
+# read/write of the same cache files between workers (observed once as a
+# worker abort mid-run) is impossible.
+_cache = _os.path.join(_cache,
+                       _os.environ.get("PYTEST_XDIST_WORKER", "main"))
 jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -57,3 +57,13 @@ def test_all_example_configs_load_and_validate():
 def test_bad_extension():
     with pytest.raises(ValueError):
         load("config.yaml")
+
+
+def test_round_trip_synthetic_dataset():
+    from myrtlespeech_tpu.config.schema import (SyntheticSpeechConfig,
+                                                TaskConfig, replace)
+    cfg = replace(TaskConfig(),
+                  train_dataset=SyntheticSpeechConfig(split="train"),
+                  eval_dataset=SyntheticSpeechConfig(split="eval",
+                                                     dataset_len=7))
+    assert from_dict(to_dict(cfg)) == cfg
