@@ -36,11 +36,15 @@ def _use_pallas_lstm(cfg: RNNConfig, dtype, B: int) -> bool:
     ``parallel/sharding.py::PALLAS_TP_GUARD``); the lax scan partitions
     cleanly instead.
     """
+    import os
+
     import jax
 
     from myrtlespeech_tpu.ops.pallas.lstm_kernel import pallas_lstm_supported
     from myrtlespeech_tpu.parallel.sharding import PALLAS_TP_GUARD
 
+    if os.environ.get("MYRTLE_DISABLE_PALLAS_LSTM"):
+        return False  # operational escape hatch / triage bisect lever
     return (cfg.rnn_type is RNNType.LSTM
             and dtype == jnp.bfloat16
             and jax.default_backend() == "tpu"

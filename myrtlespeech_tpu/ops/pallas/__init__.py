@@ -13,4 +13,9 @@ def pallas_lattice_supported(batch_size: int) -> bool:
     lattice (ops/ctc.py, ops/rnnt.py) wins at a given shape is measured
     in docs/performance.md.
     """
+    import os
+    if os.environ.get("MYRTLE_DISABLE_PALLAS_LATTICE"):
+        # Operational escape hatch (and triage bisect lever for kernel
+        # faults): force the pure-lax lattices.
+        return False
     return batch_size <= 512  # 64 slabs; beyond this unrolling is silly
