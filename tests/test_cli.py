@@ -97,6 +97,25 @@ def test_cli_trains_sharded_on_mesh(tmp_path, capsys):
     assert math.isfinite(float(reports["train_mean_loss"]))
 
 
+def test_cli_eval_only(cfg_path, tmp_path, capsys):
+    """--eval_only restores the checkpoint and runs one decoding eval
+    pass (WER reported), without training or writing new checkpoints."""
+    ckpt = str(tmp_path / "ck")
+    assert main(["--config", cfg_path, "--checkpoint_dir", ckpt,
+                 "--epochs", "1", "--no_decode"]) == 0
+    capsys.readouterr()
+    from myrtlespeech_tpu.run.checkpoint import CheckpointManager
+    step = CheckpointManager(ckpt).latest_step()
+
+    assert main(["--config", cfg_path, "--checkpoint_dir", ckpt,
+                 "--resume", "--eval_only"]) == 0
+    out = capsys.readouterr().out
+    reports = json.loads(out[out.index("{"):])
+    assert "wer" in reports and "eval_mean_loss" in reports
+    assert "train_mean_loss" not in reports
+    assert CheckpointManager(ckpt).latest_step() == step  # nothing saved
+
+
 def test_cli_checkpoint_and_resume(cfg_path, tmp_path, capsys):
     ckpt = str(tmp_path / "ckpt")
     assert main(["--config", cfg_path, "--checkpoint_dir", ckpt,
