@@ -47,7 +47,10 @@ task_config = TaskConfig(
                 fc=FullyConnectedConfig(num_hidden_layers=1, hidden_size=256,
                                         activation=Activation.RELU)),
         ),
-        loss=RNNTLossConfig(blank_index=0),
+        # Fused joint+loss: never materialises the (B, T', U+1, *) joint
+        # tensors — required headroom for the long buckets on one chip
+        # (the full-joint path exhausts HBM and kills the TPU worker).
+        loss=RNNTLossConfig(blank_index=0, fused_chunk_size=32),
         post_process=RNNTBeamDecoderConfig(blank_index=0, beam_width=8,
                                            length_norm=True,
                                            max_symbols_per_step=8),
