@@ -304,6 +304,17 @@ def fit(task: Task, epochs: Optional[int] = None, callbacks=(),
         if prefetch:
             eval_loader = PrefetchLoader(eval_loader, prefetch)
 
+    if task.transducer and task.fused_loss is None:
+        # The full-joint transducer path materialises (B, T', U+1, *)
+        # activations whose peak grows with the longest bucket; on a
+        # memory-limited chip this can exhaust HBM (observed as a TPU
+        # worker crash, not a clean OOM, on some platforms).  The fused
+        # path trades ~9% step time for O(chunk/T') of that memory.
+        import logging
+        logging.getLogger(__name__).info(
+            "transducer full-joint path active; if the long buckets "
+            "exhaust HBM set RNNTLossConfig.fused_chunk_size (e.g. 32)")
+
     handler = CallbackHandler(list(callbacks))
     # Steps are built lazily on the first batch: the sharded path needs an
     # example batch + initialised state to compute sharding pytrees, and
