@@ -14,6 +14,7 @@ MLPerf RNN-T topology (~80 audio-s/s) until a measured reference exists.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -48,8 +49,10 @@ def main() -> None:
         eval_dataset=None,
         # B=32 is the production-realistic per-chip batch: the recurrent
         # gate matmuls go from 8 to 32 MXU rows (measured 2.4x audio-s/s
-        # over B=8 on v5e).
-        train_config=S.replace(cfg.train_config, batch_size=32),
+        # over B=8 on v5e).  MYRTLE_BENCH_BATCH overrides for sweeps.
+        train_config=S.replace(
+            cfg.train_config,
+            batch_size=int(os.environ.get("MYRTLE_BENCH_BATCH", "32"))),
     )
     task = build_task(cfg, steps_per_epoch=100)
 
