@@ -141,6 +141,13 @@ def log_mel_spectrogram(x, sample_lens, *, sample_rate: int = 16000,
     Returns:
       ``(features (B, T, n_mels) fp32, frame_lens (B,) int32)``.
     """
+    # Zero samples past each utterance's length BEFORE framing: boundary
+    # frames (t <= len//hop) read up to n_fft/2 samples beyond ``len``,
+    # and features must be a pure function of the valid samples (the
+    # padding-content-invariance contract; equals the zero-padded collate
+    # numerics exactly).
+    B, S = x.shape
+    x = jnp.where(jnp.arange(S)[None, :] < sample_lens[:, None], x, 0.0)
     power = stft_power(x, n_fft, hop_length, win_length)
     fb = jnp.asarray(mel_filterbank(n_mels, n_fft, sample_rate))
     mel = jnp.einsum("btf,fm->btm", power, fb)

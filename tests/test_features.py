@@ -115,3 +115,24 @@ def test_dft_matmul_matches_fft():
     b = features.stft_power(x, 256, 80, 200, use_dft_matmul=False)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3,
                                atol=1e-3)
+
+
+def test_log_mel_pad_invariance():
+    """Features for an utterance are identical whatever padding follows it
+    (the masked framing cannot leak) — frames fully inside the valid
+    region must match bit-for-bit between a padded and a longer batch."""
+    rng = np.random.default_rng(5)
+    wav = rng.standard_normal(3200).astype(np.float32)
+    pad1 = np.concatenate([wav, np.zeros(800, np.float32)])
+    pad2 = np.concatenate([wav, 9.0 * np.ones(2400, np.float32)])
+    lens = jnp.asarray([3200], jnp.int32)
+    f1, l1 = features.log_mel_spectrogram(jnp.asarray(pad1[None]), lens,
+                                   sample_rate=16000, n_fft=512,
+                                   win_length=400, hop_length=160, n_mels=16)
+    f2, l2 = features.log_mel_spectrogram(jnp.asarray(pad2[None]), lens,
+                                   sample_rate=16000, n_fft=512,
+                                   win_length=400, hop_length=160, n_mels=16)
+    assert int(l1[0]) == int(l2[0])
+    n = int(l1[0])
+    np.testing.assert_array_equal(np.asarray(f1[0, :n]),
+                                  np.asarray(f2[0, :n]))
