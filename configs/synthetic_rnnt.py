@@ -56,10 +56,10 @@ task_config = TaskConfig(
                                            max_symbols_per_step=8),
     ),
     train_config=TrainConfig(
-        batch_size=32, epochs=12,
-        optimizer=AdamConfig(learning_rate=4e-4),
-        lr_scheduler=CosineAnnealingLRConfig(t_max_epochs=12),
-        lr_warmup_steps=300, grad_clip_norm=5.0,
+        batch_size=32, epochs=40,
+        optimizer=AdamConfig(learning_rate=7e-4),
+        lr_scheduler=CosineAnnealingLRConfig(t_max_epochs=40),
+        lr_warmup_steps=500, grad_clip_norm=5.0,
         audio_bucket_growth=1.7, label_bucket=64),
     train_dataset=SyntheticSpeechConfig(dataset_len=4096, split="train"),
     eval_dataset=SyntheticSpeechConfig(dataset_len=256, split="eval"),

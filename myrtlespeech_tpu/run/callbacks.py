@@ -247,6 +247,18 @@ class StopEpochAfter(Callback):
             ts["stop_epoch"] = True
 
 
+class LogReports(Callback):
+    """Print the per-epoch reports dict as one JSON line (long-run
+    monitoring: WER/CER/loss trajectory without waiting for train end)."""
+
+    def on_epoch_end(self, ts):
+        import json
+        r = {k: v for k, v in ts.get("reports", {}).items()
+             if isinstance(v, (int, float))}
+        if r:
+            print(json.dumps({"epoch": ts["epoch"], **r}), flush=True)
+
+
 class ProfilerCallback(Callback):
     """jax.profiler trace over a step window (SURVEY.md §5 tracing plan).
 

@@ -63,7 +63,7 @@ def main(argv=None) -> int:
     task = build_task(cfg, steps_per_epoch=steps_per_epoch)
 
     cbs = [C.ReportMeanBatchLoss(), C.ThroughputMonitor(),
-           C.ReportDecoderWER(task.alphabet)]
+           C.ReportDecoderWER(task.alphabet), C.LogReports()]
     if args.log_dir:
         cbs.append(C.CSVLogger(f"{args.log_dir}/metrics.csv"))
         cbs.append(C.TensorBoardLogger(args.log_dir))
