@@ -42,7 +42,7 @@ def test_cli_trains_and_reports(cfg_path, tmp_path, capsys):
     rc = main(["--config", cfg_path, "--log_dir", str(tmp_path / "logs")])
     assert rc == 0
     out = capsys.readouterr().out
-    reports = json.loads(out[out.index("{"):])
+    reports = json.loads(out[out.rindex("{\n"):])
     assert "train_mean_loss" in reports and "wer" in reports
     assert (tmp_path / "logs" / "metrics.csv").exists()
 
@@ -91,7 +91,7 @@ def test_cli_trains_sharded_on_mesh(tmp_path, capsys):
     rc = main(["--config", str(p), "--max_batches", "2"])
     assert rc == 0
     out = capsys.readouterr().out
-    reports = json.loads(out[out.index("{"):])
+    reports = json.loads(out[out.rindex("{\n"):])
     assert "train_mean_loss" in reports and "wer" in reports
     import math
     assert math.isfinite(float(reports["train_mean_loss"]))
@@ -110,7 +110,7 @@ def test_cli_eval_only(cfg_path, tmp_path, capsys):
     assert main(["--config", cfg_path, "--checkpoint_dir", ckpt,
                  "--resume", "--eval_only"]) == 0
     out = capsys.readouterr().out
-    reports = json.loads(out[out.index("{"):])
+    reports = json.loads(out[out.rindex("{\n"):])
     assert "wer" in reports and "eval_mean_loss" in reports
     assert "train_mean_loss" not in reports
     assert CheckpointManager(ckpt).latest_step() == step  # nothing saved
