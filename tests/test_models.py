@@ -269,3 +269,59 @@ def test_gradient_flow_ds2():
     assert total > 0
     assert all(bool(jnp.isfinite(g).all())
                for g in jax.tree_util.tree_leaves(grads))
+
+
+def test_masked_batch_norm_excludes_padding():
+    """MaskedBatchNorm statistics must come only from valid frames: a
+    batch whose padding is poisoned must normalise identically to one
+    with zero padding (torch BN over packed frames semantics)."""
+    from myrtlespeech_tpu.models.normalization import MaskedBatchNorm
+
+    B, T, F = 3, 8, 4
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((B, T, F)).astype(np.float32)
+    lens = np.asarray([8, 5, 3], np.int32)
+    x2 = x.copy()
+    for b, l in enumerate(lens):
+        x2[b, l:] = 99.0
+
+    m = MaskedBatchNorm(dtype=jnp.float32)
+    vars_ = m.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                   jnp.asarray(lens), use_running_average=False)
+    y1, st1 = m.apply(vars_, jnp.asarray(x), jnp.asarray(lens),
+                      use_running_average=False, mutable=["batch_stats"])
+    y2, st2 = m.apply(vars_, jnp.asarray(x2), jnp.asarray(lens),
+                      use_running_average=False, mutable=["batch_stats"])
+    mask = (np.arange(T)[None, :] < lens[:, None])[..., None]
+    np.testing.assert_allclose(np.asarray(y1) * mask, np.asarray(y2) * mask,
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(st1["batch_stats"]),
+                    jax.tree_util.tree_leaves(st2["batch_stats"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_masked_batch_norm_matches_torch_on_valid_frames():
+    """Against torch.nn.BatchNorm1d over the packed (valid-only) frames."""
+    import torch
+
+    from myrtlespeech_tpu.models.normalization import MaskedBatchNorm
+
+    B, T, F = 2, 6, 3
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((B, T, F)).astype(np.float32)
+    lens = np.asarray([6, 4], np.int32)
+
+    m = MaskedBatchNorm(dtype=jnp.float32)
+    vars_ = m.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                   jnp.asarray(lens), use_running_average=False)
+    y, _ = m.apply(vars_, jnp.asarray(x), jnp.asarray(lens),
+                   use_running_average=False, mutable=["batch_stats"])
+
+    packed = np.concatenate([x[b, :l] for b, l in enumerate(lens)])
+    tm = torch.nn.BatchNorm1d(F, affine=True)
+    torch.nn.init.ones_(tm.weight); torch.nn.init.zeros_(tm.bias)
+    ref = tm(torch.tensor(packed)).detach().numpy()
+    got = np.concatenate(
+        [np.asarray(y)[b, :l] for b, l in enumerate(lens)])
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
