@@ -113,3 +113,39 @@ def test_batch_of_one_vs_batched():
                           jnp.asarray(label_lens[b:b + 1]), reduction="none")
         np.testing.assert_allclose(np.asarray(single)[0], batched[b],
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_zero_length_target():
+    """label_len 0: loss = -sum(log p_blank) over valid frames (matches
+    torch CTCLoss with an empty target)."""
+    import torch
+
+    rng = np.random.default_rng(9)
+    B, T, V = 2, 5, 4
+    logits = rng.standard_normal((B, T, V)).astype(np.float32)
+    logit_lens = np.asarray([5, 3], np.int32)
+    labels = np.zeros((B, 2), np.int32)
+    label_lens = np.asarray([0, 0], np.int32)
+
+    ours = ctc_loss(jnp.asarray(logits), jnp.asarray(logit_lens),
+                    jnp.asarray(labels), jnp.asarray(label_lens),
+                    blank_index=0, reduction="none")
+    lp = torch.log_softmax(torch.tensor(logits), -1).transpose(0, 1)
+    ref = torch.nn.CTCLoss(blank=0, reduction="none")(
+        lp, torch.zeros((B, 0), dtype=torch.long),
+        torch.tensor(logit_lens), torch.tensor(label_lens))
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_length_one_input():
+    """T=1 with a single-symbol target: loss = -log p(symbol)."""
+    rng = np.random.default_rng(10)
+    V = 5
+    logits = rng.standard_normal((1, 1, V)).astype(np.float32)
+    out = ctc_loss(jnp.asarray(logits), jnp.asarray([1]),
+                   jnp.asarray([[2]]), jnp.asarray([1]),
+                   blank_index=0, reduction="none")
+    lse = np.log(np.exp(logits[0, 0]).sum())
+    np.testing.assert_allclose(float(out[0]), lse - logits[0, 0, 2],
+                               rtol=1e-5)

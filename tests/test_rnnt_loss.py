@@ -168,3 +168,34 @@ def test_fused_chunk_size_invariance():
                             labels, label_lens, joint_apply, chunk_size=cs)
         vals.append(float(v))
     assert max(vals) - min(vals) < 1e-5
+
+
+def test_zero_length_target_is_blank_path():
+    """label_len 0: the only path is all-blank, so
+    loss = -sum_t log p_blank(t, 0) over valid frames."""
+    rng = np.random.default_rng(9)
+    B, T, U, V = 2, 4, 3, 5
+    logits = rng.standard_normal((B, T, U + 1, V)).astype(np.float32)
+    logit_lens = np.asarray([4, 2], np.int32)
+    labels = np.ones((B, U), np.int32)
+    label_lens = np.zeros((B,), np.int32)
+    out = rnnt_loss(jnp.asarray(logits), jnp.asarray(logit_lens),
+                    jnp.asarray(labels), jnp.asarray(label_lens),
+                    blank_index=0, reduction="none")
+    lp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1))
+    for b in range(B):
+        expect = -sum(lp[b, t, 0, 0] for t in range(logit_lens[b]))
+        np.testing.assert_allclose(float(out[b]), expect, rtol=1e-5)
+
+
+def test_length_one_frame():
+    """T=1, U=1: paths are emit-then-blank only; check exact value."""
+    rng = np.random.default_rng(11)
+    V = 4
+    logits = rng.standard_normal((1, 1, 2, V)).astype(np.float32)
+    out = rnnt_loss(jnp.asarray(logits), jnp.asarray([1]),
+                    jnp.asarray([[2]]), jnp.asarray([1]),
+                    blank_index=0, reduction="none")
+    lp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1))
+    expect = -(lp[0, 0, 0, 2] + lp[0, 0, 1, 0])  # emit label 2, then blank
+    np.testing.assert_allclose(float(out[0]), expect, rtol=1e-5)
