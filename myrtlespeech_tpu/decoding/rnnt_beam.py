@@ -73,6 +73,7 @@ def rnnt_beam_decode(
     max_symbols_per_step: int = 30,
     max_output_len: int = 200,
     expand_topk: Optional[int] = None,
+    prune_expands: bool = True,
 ):
     """Beam-search decode a batch. Returns ``(tokens (B, U), lens (B,))``.
 
@@ -123,7 +124,8 @@ def rnnt_beam_decode(
                 # "while |B more probable than max A| < W").
                 r, fin, exp = loop
                 fin_min = jnp.min(fin["score"])  # W-th best of W slots
-                cutoff = jnp.maximum(fin_min, NEG_INF / 2)
+                cutoff = jnp.maximum(fin_min, NEG_INF / 2) \
+                    if prune_expands else NEG_INF / 2
                 return (r <= max_symbols_per_step) & \
                     jnp.any(exp["score"] > cutoff)
 

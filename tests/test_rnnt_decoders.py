@@ -179,3 +179,23 @@ def test_beam_expand_topk_lossless_when_k_large(tiny_model=None):
                          init_state_fn, expand_topk=V - 1, **kw)
     np.testing.assert_array_equal(np.asarray(full[0]), np.asarray(k[0]))
     np.testing.assert_array_equal(np.asarray(full[1]), np.asarray(k[1]))
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_beam_pruning_preserves_map_sequence(seed):
+    """Graves-style expansion pruning must not change the decoded output
+    on the oracle-model distribution (pruned hyps can never re-enter the
+    beam: extension scores only decrease)."""
+    V = 4
+    m, vars_, cfg, x, lens = _tiny_model(V=V, seed=seed)
+    T = int(lens[0])
+    f, f_lens = m.apply(vars_, x, lens, method=RNNT.encode)
+    predict_step, joint_step, init_state_fn = _helpers(m, vars_, cfg)
+    outs = []
+    for prune in (True, False):
+        toks, tlens = rnnt_beam_decode(
+            f, f_lens, predict_step, joint_step, init_state_fn,
+            blank_index=0, beam_width=16, max_symbols_per_step=T,
+            max_output_len=T, prune_expands=prune)
+        outs.append(tuple(np.asarray(toks)[0, :int(tlens[0])]))
+    assert outs[0] == outs[1]

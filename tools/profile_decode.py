@@ -19,6 +19,8 @@ def main():
     p.add_argument("--beam", type=int, default=8)
     p.add_argument("--expand-topk", type=int, default=None,
                    help="beam expansion top-k pruning (None = full V)")
+    p.add_argument("--prune-ab", action="store_true",
+                   help="A/B the Graves-style expansion pruning")
     args = p.parse_args()
 
     sys.path.insert(0, ".")
@@ -77,19 +79,21 @@ def main():
     print(f"rnnt greedy B={B}: {dt*1000:.1f} ms -> {audio_s/dt:.0f} "
           f"audio-s/s", flush=True)
 
-    beam = jax.jit(lambda f, fl: rnnt_beam_decode(
-        f, fl, predict_step, joint_step, init_state_fn,
-        blank_index=0, beam_width=args.beam, max_symbols_per_step=4,
-        max_output_len=128, expand_topk=args.expand_topk))
-    toks, lens = beam(f, f_lens)
-    _ = int(jnp.sum(lens))
-    t0 = time.perf_counter()
-    toks, lens = beam(f, f_lens)
-    _ = int(jnp.sum(lens))
-    dt = time.perf_counter() - t0
-    print(f"rnnt beam W={args.beam} k={args.expand_topk} B={B}: "
-          f"{dt*1000:.1f} ms -> "
-          f"{audio_s/dt:.0f} audio-s/s", flush=True)
+    for prune in (True, False) if args.prune_ab else (True,):
+        beam = jax.jit(lambda f, fl, _p=prune: rnnt_beam_decode(
+            f, fl, predict_step, joint_step, init_state_fn,
+            blank_index=0, beam_width=args.beam, max_symbols_per_step=4,
+            max_output_len=128, expand_topk=args.expand_topk,
+            prune_expands=_p))
+        toks, lens = beam(f, f_lens)
+        _ = int(jnp.sum(lens))
+        t0 = time.perf_counter()
+        toks, lens = beam(f, f_lens)
+        _ = int(jnp.sum(lens))
+        dt = time.perf_counter() - t0
+        print(f"rnnt beam W={args.beam} k={args.expand_topk} B={B} "
+              f"prune={prune}: {dt*1000:.1f} ms -> "
+              f"{audio_s/dt:.0f} audio-s/s", flush=True)
 
     # CTC beam on synthetic logits of matching shape.
     rng = np.random.default_rng(0)
