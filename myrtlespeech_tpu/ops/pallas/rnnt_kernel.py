@@ -300,15 +300,13 @@ def rnnt_loss_pallas(logits, logit_lens, labels, label_lens,
                      blank_index: int = 0, reduction: str = "mean"):
     """Drop-in replacement for ``ops.rnnt.rnnt_loss`` using the kernels.
 
-    The (cheap) log_softmax + blank/emit gathers stay in JAX so their
-    gradients flow by autodiff; the (T,U) lattice runs in Pallas.
+    The softmax front runs as the fused blank/emit extraction
+    (``ops.rnnt.blank_emit_from_logits`` — no materialised log-softmax,
+    single-pass hand-written backward); the (T,U) lattice runs in Pallas.
     """
-    B, T, U1, V = logits.shape
-    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    lp_blank = lp[..., blank_index]
-    lab = jnp.concatenate(
-        [labels.astype(jnp.int32), jnp.zeros((B, 1), jnp.int32)], axis=1)
-    lp_emit = jnp.take_along_axis(lp, lab[:, None, :, None], axis=3)[..., 0]
+    from myrtlespeech_tpu.ops.rnnt import blank_emit_from_logits
+
+    lp_blank, lp_emit = blank_emit_from_logits(logits, labels, blank_index)
     ll = rnnt_lattice(lp_blank, lp_emit, logit_lens, label_lens)
     nll = -ll
     if reduction == "none":

@@ -22,6 +22,8 @@ model — this op takes them as given; the fused Pallas joint+loss kernel
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -46,6 +48,74 @@ def _log_semiring_linrec(a, c):
 
     _, x = jax.lax.associative_scan(combine, (c, a), axis=-1)
     return x
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _blank_emit_direct(logits, lab, blank_index):
+    """Fused ``log_softmax`` + blank/label extraction from raw joint logits.
+
+    Computes ``lp_blank[b,t,u] = log_softmax(logits)[b,t,u,blank]`` and
+    ``lp_emit[b,t,u] = log_softmax(logits)[b,t,u,lab[b,u]]`` without ever
+    materialising the ``(B, T, U+1, V)`` log-softmax tensor, and with a
+    hand-written single-pass backward.  This is the transducer loss's HBM
+    hot path: XLA lowers ``log_softmax`` + ``take_along_axis`` + their
+    autodiff to several full-tensor passes with gather/scatter (measured
+    ~2 ms of the 2.65 ms loss at B=32/T'=250/U=64/V=29 on v5e, i.e. the
+    softmax front dominates the lattice itself — docs/performance.md).
+    Here the forward is max + exp-sum + two masked lane reductions and the
+    backward is ONE fused elementwise pass
+    ``dx = gb*onehot(blank) + ge*onehot(lab) - (gb+ge)*softmax(x)``.
+
+    Args: logits ``(B, T, U+1, V)`` (any float dtype), lab ``(B, U+1)``
+    int32 (labels with a trailing pad column).  Returns two ``(B, T, U+1)``
+    fp32 arrays.  (Replaces the warp-transducer CUDA front of reference
+    ``loss/rnn_t_loss.py``.)
+    """
+    out, _ = _blank_emit_direct_fwd(logits, lab, blank_index)
+    return out
+
+
+def _blank_emit_direct_fwd(logits, lab, blank_index):
+    x = logits.astype(jnp.float32)
+    V = x.shape[-1]
+    m = jnp.max(x, axis=-1)
+    lse = m + jnp.log(jnp.sum(jnp.exp(x - m[..., None]), axis=-1))
+    xb = x[..., blank_index]
+    emask = (jnp.arange(V)[None, None, None, :]
+             == lab[:, None, :, None])  # (B, T=1bc, U+1, V)
+    xe = jnp.sum(jnp.where(emask, x, 0.0), axis=-1)
+    return (xb - lse, xe - lse), (logits, lab, lse)
+
+
+def _blank_emit_direct_bwd(blank_index, res, grads):
+    logits, lab, lse = res
+    gb, ge = grads
+    x = logits.astype(jnp.float32)
+    V = x.shape[-1]
+    v_iota = jnp.arange(V)[None, None, None, :]
+    softmax = jnp.exp(x - lse[..., None])
+    emask = v_iota == lab[:, None, :, None]
+    dx = (jnp.where(v_iota == blank_index, gb[..., None], 0.0)
+          + jnp.where(emask, ge[..., None], 0.0)
+          - (gb + ge)[..., None] * softmax)
+    return dx.astype(logits.dtype), None
+
+
+_blank_emit_direct.defvjp(_blank_emit_direct_fwd, _blank_emit_direct_bwd)
+
+
+def blank_emit_from_logits(logits, labels, blank_index: int = 0):
+    """Blank/emit log-probs straight from raw joint logits (fused front).
+
+    Equivalent to ``blank_emit_log_probs(log_softmax(logits), labels)`` but
+    avoids materialising the log-softmax tensor and uses a single-pass
+    hand-written backward (see :func:`_blank_emit_direct`).
+    """
+    B = logits.shape[0]
+    lab = jnp.concatenate(
+        [labels.astype(jnp.int32),
+         jnp.zeros((B, 1), jnp.int32)], axis=1)  # (B, U+1); last col unused
+    return _blank_emit_direct(logits, lab, blank_index)
 
 
 def blank_emit_log_probs(log_probs, labels, blank_index: int = 0):
@@ -153,9 +223,9 @@ def rnnt_loss(logits, logit_lens, labels, label_lens, blank_index: int = 0,
     'mean' averages per-example losses over the batch (warp-transducer
     semantics — no division by label length, unlike CTC's torch 'mean').
     """
-    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -rnnt_forward_log_likelihood(lp, logit_lens, labels, label_lens,
-                                       blank_index)
+    lp_blank, lp_emit = blank_emit_from_logits(logits, labels, blank_index)
+    nll = -rnnt_log_likelihood_from_blank_emit(lp_blank, lp_emit, logit_lens,
+                                               label_lens)
     return _reduce(nll, reduction)
 
 
@@ -194,8 +264,7 @@ def rnnt_loss_fused(f, f_lens, g, labels, label_lens, joint_apply, *,
     @jax.checkpoint
     def chunk_fn(f_chunk):
         logits = joint_apply(f_chunk)  # (B, tc, U+1, V)
-        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        return blank_emit_log_probs(lp, labels, blank_index)
+        return blank_emit_from_logits(logits, labels, blank_index)
 
     def scan_body(_, f_chunk):
         return None, chunk_fn(f_chunk)

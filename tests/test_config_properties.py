@@ -42,7 +42,10 @@ def rnn_configs(draw, *, bidirectional=None, types=(S.RNNType.LSTM,
                                                     S.RNNType.HARD_LSTM)):
     t = draw(st.sampled_from(list(types)))
     bidi = draw(st.booleans()) if bidirectional is None else bidirectional
-    fgb = draw(st.one_of(st.none(), st.floats(0.0, 2.0)))
+    # width=32: the bias lands in an fp32 flax param, so the config value
+    # must be fp32-representable (hypothesis found 2.45e-203 underflowing
+    # to 0 in the parameter and failing the reflect check).
+    fgb = draw(st.one_of(st.none(), st.floats(0.0, 2.0, width=32)))
     if t not in (S.RNNType.LSTM, S.RNNType.HARD_LSTM):
         fgb = None
     return S.RNNConfig(

@@ -199,3 +199,38 @@ def test_length_one_frame():
     lp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1))
     expect = -(lp[0, 0, 0, 2] + lp[0, 0, 1, 0])  # emit label 2, then blank
     np.testing.assert_allclose(float(out[0]), expect, rtol=1e-5)
+
+
+def test_fused_blank_emit_front_matches_log_softmax_gather():
+    """The fused blank/emit front (custom_vjp, no materialised log-softmax)
+    must match log_softmax + take_along_axis, values AND grads, for
+    arbitrary cotangents and a non-zero blank index."""
+    from myrtlespeech_tpu.ops.rnnt import (blank_emit_from_logits,
+                                           blank_emit_log_probs)
+
+    rng = np.random.default_rng(17)
+    B, T, U1, V = 3, 6, 5, 11
+    blank = 4
+    logits = jnp.asarray(rng.standard_normal((B, T, U1, V)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, V, (B, U1 - 1)), jnp.int32)
+    gb = jnp.asarray(rng.standard_normal((B, T, U1)), jnp.float32)
+    ge = jnp.asarray(rng.standard_normal((B, T, U1)), jnp.float32)
+
+    def ref(x):
+        lp = jax.nn.log_softmax(x.astype(jnp.float32), axis=-1)
+        b, e = blank_emit_log_probs(lp, labels, blank)
+        return jnp.sum(b * gb) + jnp.sum(e * ge)
+
+    def new(x):
+        b, e = blank_emit_from_logits(x, labels, blank)
+        return jnp.sum(b * gb) + jnp.sum(e * ge)
+
+    np.testing.assert_allclose(float(ref(logits)), float(new(logits)),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(jax.grad(ref)(logits)),
+                               np.asarray(jax.grad(new)(logits)),
+                               rtol=1e-4, atol=1e-5)
+    # bf16 logits: cotangent comes back in the logits dtype.
+    dbf = jax.grad(new)(logits.astype(jnp.bfloat16))
+    assert dbf.dtype == jnp.bfloat16
+    assert bool(jnp.all(jnp.isfinite(dbf.astype(jnp.float32))))
