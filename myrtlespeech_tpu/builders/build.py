@@ -244,24 +244,27 @@ def build_loss(cfg: S.SpeechToTextConfig) -> Callable:
     raise ValueError(f"unknown loss config {type(lc)}")
 
 
-def build_fused_transducer_loss(cfg: S.SpeechToTextConfig, model
-                                ) -> Optional[Callable]:
+def build_fused_transducer_loss(cfg: S.SpeechToTextConfig, model,
+                                force: bool = False) -> Optional[Callable]:
     """Joint+loss fusion for transducer tasks (ops/rnnt.py::rnnt_loss_fused).
 
     Returns ``fused(variables, f, f_lens, g, labels, label_lens, train,
-    rngs) -> loss`` or None (CTC task / fusion disabled via
-    ``RNNTLossConfig.fused_chunk_size=None``).
+    rngs, chunk_size) -> loss`` or None (CTC task / fusion disabled via
+    ``RNNTLossConfig.fused_chunk_size=None`` — unless ``force``, used for
+    the HBM memory planner's auto-fusion, ``run/memory.py``).
     """
     lc = cfg.loss
-    if not isinstance(lc, S.RNNTLossConfig) or lc.fused_chunk_size is None:
+    if not isinstance(lc, S.RNNTLossConfig):
+        return None
+    if lc.fused_chunk_size is None and not force:
         return None
     from myrtlespeech_tpu.ops.rnnt import rnnt_loss_fused
 
-    chunk = lc.fused_chunk_size
+    default_chunk = lc.fused_chunk_size or 32
     red = lc.reduction.value
 
     def fused(variables, f, f_lens, g, labels, label_lens,
-              train: bool = False, rngs=None):
+              train: bool = False, rngs=None, chunk_size=None):
         def joint_apply(f_chunk):
             # NB: dropout rngs (if any) repeat across chunks — the joint
             # net's dropout mask is per-chunk-position, which is fine for
@@ -272,7 +275,7 @@ def build_fused_transducer_loss(cfg: S.SpeechToTextConfig, model
 
         return rnnt_loss_fused(f, f_lens, g, labels, label_lens, joint_apply,
                                blank_index=lc.blank_index, reduction=red,
-                               chunk_size=chunk)
+                               chunk_size=chunk_size or default_chunk)
 
     return fused
 
@@ -471,6 +474,11 @@ class Task:
     # g, labels, label_lens, train, rngs) and never materialises the full
     # joint logits.  None for CTC tasks or when fusion is disabled.
     fused_loss: Optional[Callable] = None
+    # Always set for transducer tasks: the same fused loss with a
+    # per-call ``chunk_size``, used by the HBM memory planner
+    # (run/memory.py) to auto-fuse long buckets that would not fit the
+    # full-joint path.  None for CTC tasks.
+    fused_loss_auto: Optional[Callable] = None
 
     @property
     def transducer(self) -> bool:
@@ -499,4 +507,5 @@ def build_task(cfg: S.TaskConfig, steps_per_epoch: int = 1000,
         eval_dataset=(build_dataset(cfg.eval_dataset)
                       if cfg.eval_dataset is not None else None),
         fused_loss=build_fused_transducer_loss(stt, model),
+        fused_loss_auto=build_fused_transducer_loss(stt, model, force=True),
     )

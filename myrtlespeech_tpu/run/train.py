@@ -69,10 +69,12 @@ def _forward(task: Task, params, batch_stats, rng, batch, train: bool):
     kwargs = dict(
         mutable=["batch_stats"] if (train and batch_stats) else False,
         rngs={"dropout": drop_rng} if train else {})
-    if task.transducer and task.fused_loss is not None:
-        # Fused joint+loss path: encode/predict separately, then the joint
-        # runs T-chunked inside the loss (never materialising the full
-        # (B, T, U+1, ·) joint tensors — SURVEY.md §3.3 memory hot spot).
+    if task.transducer:
+        # Encode/predict split (equivalent to the full apply — RNNT.__call__
+        # is encode -> predict -> joint); the joint path is then chosen per
+        # compiled shape: config-forced fusion, HBM-planner auto-fusion for
+        # buckets whose full joint would not fit (run/memory.py), or the
+        # full joint (fastest when it fits).
         f, f_lens, new_stats = _apply_split_transducer(
             task, variables, batch_stats, feats, flens, batch, kwargs,
             want="encode")
@@ -80,14 +82,23 @@ def _forward(task: Task, params, batch_stats, rng, batch, train: bool):
             task, variables, batch_stats, feats, flens, batch, kwargs,
             want="predict")
         new_stats = _merge_stats(batch_stats, new_stats, new_stats2)
-        loss = task.fused_loss(variables, f, f_lens, g, batch["labels"],
-                               batch["label_lens"], train, kwargs["rngs"])
-        return loss, (None, f_lens, new_stats)
-    if task.transducer:
-        out = task.model.apply(variables, feats, flens, batch["labels"],
-                               batch["label_lens"], train, **kwargs)
-    else:
-        out = task.model.apply(variables, feats, flens, train, **kwargs)
+        fused, chunk = _select_joint_path(task, f, g, backward=train)
+        if fused is not None:
+            # Fused joint+loss: the joint runs T-chunked inside the loss,
+            # never materialising the full (B, T, U+1, ·) joint tensors
+            # (SURVEY.md §3.3 memory hot spot).
+            loss = fused(variables, f, f_lens, g, batch["labels"],
+                         batch["label_lens"], train, kwargs["rngs"],
+                         chunk_size=chunk)
+            return loss, (None, f_lens, new_stats)
+        logits, _, new_stats3 = _apply_split_transducer(
+            task, variables, batch_stats, feats, flens, batch, kwargs,
+            want="joint", f=f, g=g)
+        new_stats = _merge_stats(batch_stats, new_stats, new_stats3)
+        loss = task.loss_fn(logits, f_lens, batch["labels"],
+                            batch["label_lens"])
+        return loss, (logits, f_lens, new_stats)
+    out = task.model.apply(variables, feats, flens, train, **kwargs)
     if kwargs["mutable"]:
         (logits, out_lens), updates = out
         new_stats = updates.get("batch_stats", batch_stats)
@@ -99,14 +110,48 @@ def _forward(task: Task, params, batch_stats, rng, batch, train: bool):
     return loss, (logits, out_lens, new_stats)
 
 
+def _select_joint_path(task, f, g, backward: bool):
+    """Choose the transducer joint+loss path for this compiled shape.
+
+    Returns ``(fused_callable_or_None, chunk_size_or_None)``.  Precedence:
+    config-forced fusion (``task.fused_loss``), then the HBM memory
+    planner (``run/memory.py`` — auto-fuse shapes whose full joint would
+    exhaust device memory), then the full-joint path (None, None).
+    """
+    if task.fused_loss is not None:
+        return task.fused_loss, None
+    if task.fused_loss_auto is None:
+        return None, None
+    from myrtlespeech_tpu.run.memory import plan_transducer_chunk
+
+    B, T, H_enc = f.shape
+    U1, H_pred = g.shape[1], g.shape[2]
+    jc = task.cfg.speech_to_text.model.joint.fc
+    # Per-cell hidden width: the broadcast concat plus every FC hidden
+    # layer's activations (models/rnn_t.py::joint materialises all of
+    # them as (B, T, U+1, ·) tensors on the full path).
+    h_eff = (H_enc + H_pred) + jc.num_hidden_layers * (jc.hidden_size or 0)
+    vocab = task.model.vocab_size
+    hidden_bytes = jnp.dtype(task.model.dtype).itemsize
+    chunk = plan_transducer_chunk(B, T, U1, h_eff, vocab,
+                                  hidden_bytes=hidden_bytes,
+                                  backward=backward)
+    if chunk is None:
+        return None, None
+    return task.fused_loss_auto, chunk
+
+
 def _apply_split_transducer(task, variables, batch_stats, feats, flens,
-                            batch, kwargs, want: str):
-    """Run RNNT.encode or RNNT.predict with the same mutable/rng handling
-    as the fused full apply."""
+                            batch, kwargs, want: str, f=None, g=None):
+    """Run RNNT.encode / RNNT.predict / RNNT.joint with the same
+    mutable/rng handling as the fused full apply."""
     train = bool(kwargs["rngs"])
     if want == "encode":
         out = task.model.apply(variables, feats, flens, train,
                                method=RNNT.encode, **kwargs)
+    elif want == "joint":
+        out = task.model.apply(variables, f, g, train,
+                               method=RNNT.joint, **kwargs)
     else:
         out = task.model.apply(variables, batch["labels"],
                                batch["label_lens"], train,
@@ -188,9 +233,10 @@ def eval_step_body(task: Task, decode: bool = True,
                 variables, feats, flens, method=RNNT.encode)
             g = task.model.apply(variables, batch["labels"],
                                  batch["label_lens"], method=RNNT.predict)
-            if task.fused_loss is not None:
-                loss = task.fused_loss(variables, f, f_lens, g,
-                                       batch["labels"], batch["label_lens"])
+            fused, chunk = _select_joint_path(task, f, g, backward=False)
+            if fused is not None:
+                loss = fused(variables, f, f_lens, g, batch["labels"],
+                             batch["label_lens"], chunk_size=chunk)
             else:
                 logits = task.model.apply(variables, f, g, method=RNNT.joint)
                 loss = task.loss_fn(logits, f_lens, batch["labels"],
@@ -308,12 +354,17 @@ def fit(task: Task, epochs: Optional[int] = None, callbacks=(),
         # The full-joint transducer path materialises (B, T', U+1, *)
         # activations whose peak grows with the longest bucket; on a
         # memory-limited chip this can exhaust HBM (observed as a TPU
-        # worker crash, not a clean OOM, on some platforms).  The fused
-        # path trades ~9% step time for O(chunk/T') of that memory.
+        # worker crash, not a clean OOM, on some platforms).  The HBM
+        # memory planner (run/memory.py) auto-routes buckets whose
+        # projection exceeds the budget through the T-chunked fused
+        # joint+loss; RNNTLossConfig.fused_chunk_size forces fusion
+        # everywhere, MYRTLE_DISABLE_MEM_PLANNER restores round-1
+        # behaviour.
         import logging
         logging.getLogger(__name__).info(
-            "transducer full-joint path active; if the long buckets "
-            "exhaust HBM set RNNTLossConfig.fused_chunk_size (e.g. 32)")
+            "transducer full-joint path active (HBM planner will "
+            "auto-fuse long buckets; force with "
+            "RNNTLossConfig.fused_chunk_size)")
 
     handler = CallbackHandler(list(callbacks))
     # Steps are built lazily on the first batch: the sharded path needs an
