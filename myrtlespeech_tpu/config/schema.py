@@ -491,11 +491,15 @@ class LibriSpeechSubset(enum.Enum):
 
 @dataclass(frozen=True)
 class LibriSpeechConfig:
-    """Mirrors ``librispeech.proto``."""
+    """Mirrors ``librispeech.proto`` (incl. the reference's
+    download-with-checksum behaviour; see data/dataset/librispeech.py)."""
 
     subsets: Tuple[LibriSpeechSubset, ...] = (LibriSpeechSubset.DEV_CLEAN,)
     data_dir: str = "/data/librispeech"
     max_duration_s: Optional[float] = None
+    # Download missing subsets from OpenSLR into data_dir (MD5-verified).
+    # Requires network egress; a blocked sandbox raises a clear error.
+    download: bool = False
 
 
 DatasetConfig = Union[FakeSpeechToTextConfig, LibriSpeechConfig,

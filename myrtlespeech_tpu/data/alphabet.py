@@ -43,9 +43,17 @@ class Alphabet:
     def get_indices(self, sentence: Sequence[str]) -> List[int]:
         """Map a sentence (string / list of chars) to indices.
 
-        Raises ``KeyError`` on out-of-alphabet symbols, like the reference.
+        Raises ``KeyError`` on out-of-alphabet symbols, like the reference,
+        but names the symbol AND the sentence — an OOV transcript deep in a
+        corpus is otherwise undebuggable from a bare ``KeyError: '3'``.
         """
-        return [self._sym_to_idx[s] for s in sentence]
+        try:
+            return [self._sym_to_idx[s] for s in sentence]
+        except KeyError as e:
+            raise KeyError(
+                f"symbol {e.args[0]!r} not in alphabet "
+                f"{''.join(self.symbols)!r} (sentence: {str(sentence)[:80]!r})"
+            ) from None
 
     def get_symbols(self, indices: Sequence[int]) -> str:
         """Map indices back to a string."""

@@ -203,11 +203,18 @@ class PrefetchLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         SENTINEL = object()
+        err: list = []
 
         def worker():
             try:
                 for batch in self.loader:
                     q.put(batch)
+            except BaseException as e:  # noqa: BLE001 - re-raised below
+                # Propagate to the consumer: a swallowed worker crash
+                # would silently truncate the epoch (found by an e2e
+                # drive where an OOV transcript crashed collate and fit
+                # "succeeded" with 0 batches).
+                err.append(e)
             finally:
                 q.put(SENTINEL)
 
@@ -219,3 +226,5 @@ class PrefetchLoader:
                 break
             yield item
         t.join()
+        if err:
+            raise err[0]

@@ -201,3 +201,35 @@ def test_loader_num_workers_same_batches():
         np.testing.assert_array_equal(ba["wav"], bb["wav"])
         np.testing.assert_array_equal(ba["labels"], bb["labels"])
         assert ba["texts"] == bb["texts"]
+
+
+def test_prefetch_loader_propagates_worker_errors():
+    """A crash inside the loader thread must raise in the consumer, not
+    silently truncate the epoch (found by an e2e drive: an OOV transcript
+    crashed collate and fit 'succeeded' with 0 batches)."""
+    from myrtlespeech_tpu.data.batch import PrefetchLoader
+
+    class Boom:
+        def __iter__(self):
+            yield {"ok": 1}
+            raise ValueError("worker crashed")
+
+        def __len__(self):
+            return 2
+
+        def set_epoch(self, epoch, skip_batches=0):
+            pass
+
+    loader = PrefetchLoader(Boom(), prefetch=2)
+    it = iter(loader)
+    assert next(it)["ok"] == 1
+    with pytest.raises(ValueError, match="worker crashed"):
+        list(it)
+
+
+def test_alphabet_oov_error_names_symbol_and_sentence():
+    from myrtlespeech_tpu.data.alphabet import Alphabet
+
+    a = Alphabet("_ab")
+    with pytest.raises(KeyError, match="'3'.*sentence"):
+        a.get_indices("ab3")
