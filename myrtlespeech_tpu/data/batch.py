@@ -18,6 +18,7 @@ padding waste) and yields numpy dicts ready for ``jax.device_put``.
 from __future__ import annotations
 
 import math
+import subprocess
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -97,6 +98,7 @@ class BucketedLoader:
         # numpy/IO-bound and releases the GIL; 0 = synchronous.
         self.num_workers = num_workers
         self._pool = None
+        self._native_ok = None  # tri-state: unknown / usable / unavailable
         self._indices = [i for i in range(len(dataset))
                          if i % num_shards == shard_id]
 
@@ -166,16 +168,55 @@ class BucketedLoader:
             from concurrent.futures import ThreadPoolExecutor
             self._pool = ThreadPoolExecutor(self.num_workers)
         for bucket, chunk, n_real in plan[skip:]:
-            if self._pool is not None:
-                samples = list(self._pool.map(self.ds.__getitem__, chunk))
-            else:
-                samples = [self.ds[i] for i in chunk]
-            label_max = max(1, max(len(t) for _, t in samples))
-            label_pad = math.ceil(label_max / self.label_bucket) \
-                * self.label_bucket
-            batch = collate(samples, self.alphabet, bucket, label_pad)
+            batch = self._native_batch(bucket, chunk)
+            if batch is None:
+                if self._pool is not None:
+                    samples = list(self._pool.map(self.ds.__getitem__,
+                                                  chunk))
+                else:
+                    samples = [self.ds[i] for i in chunk]
+                label_max = max(1, max(len(t) for _, t in samples))
+                label_pad = math.ceil(label_max / self.label_bucket) \
+                    * self.label_bucket
+                batch = collate(samples, self.alphabet, bucket, label_pad)
             batch["n_real"] = np.asarray(n_real, np.int32)
             yield batch
+
+    def _native_batch(self, bucket: int, chunk) -> Optional[Dict]:
+        """Assemble one batch via the C++ batch decoder when possible.
+
+        Requires the dataset to expose ``audio_path``/``transcript`` and
+        every item in the chunk to be native-readable (WAV); the decoder
+        (``native/audio_io.cc``, OpenMP) writes float32 frames straight
+        into the padded (B, bucket) buffer — the reference's C++
+        DataLoader-worker equivalent (SURVEY.md §2.10 N6).  Returns None
+        to fall back to the per-sample Python path.
+        """
+        if self._native_ok is False or not hasattr(self.ds, "audio_path"):
+            return None
+        paths = [self.ds.audio_path(i) for i in chunk]
+        if any(p is None for p in paths):
+            return None
+        try:
+            from myrtlespeech_tpu import native
+            wav, wav_lens, _rates = native.wav_read_batch(paths, bucket)
+            self._native_ok = True
+        except (ImportError, OSError, subprocess.CalledProcessError):
+            if self._native_ok is None:  # no toolchain/lib: stop retrying
+                self._native_ok = False
+            return None
+        texts = [self.ds.transcript(i) for i in chunk]
+        label_max = max(1, max(len(t) for t in texts))
+        label_pad = math.ceil(label_max / self.label_bucket) \
+            * self.label_bucket
+        labels = np.zeros((len(chunk), label_pad), np.int32)
+        label_lens = np.zeros((len(chunk),), np.int32)
+        for i, t in enumerate(texts):
+            idx = self.alphabet.get_indices(t)
+            labels[i, :len(idx)] = idx
+            label_lens[i] = len(idx)
+        return {"wav": wav, "wav_lens": wav_lens, "labels": labels,
+                "label_lens": label_lens, "texts": texts}
 
 
 class PrefetchLoader:

@@ -208,6 +208,16 @@ class LibriSpeech:
     def duration_samples(self, index: int, sample_rate: int = 16000) -> int:
         return int(self.entries[index][1] * sample_rate)
 
+    def audio_path(self, index: int) -> Optional[str]:
+        """Path of the raw audio when the native batch decoder can read it
+        directly (``native/audio_io.cc``), else None (FLAC goes through
+        the Python/soundfile reader)."""
+        path = self.entries[index][0]
+        return path if path.endswith(".wav") else None
+
+    def transcript(self, index: int) -> str:
+        return self.entries[index][2]
+
     def __getitem__(self, index: int) -> Tuple[np.ndarray, str]:
         path, _dur, text = self.entries[index]
         wav, _sr = _read_audio(path)

@@ -32,6 +32,15 @@ def _load():
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int64, ctypes.POINTER(ctypes.c_int32)]
     lib.edit_distance_batch_i32.restype = None
+    lib.wav_info.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int32)]
+    lib.wav_info.restype = ctypes.c_int
+    lib.wav_read_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+    lib.wav_read_batch.restype = ctypes.c_int64
     _lib = lib
     return lib
 
@@ -73,3 +82,44 @@ def edit_distance_batch(refs: List[Sequence], hyps: List[Sequence]
         h_flat.ctypes.data_as(i32p), h_off.ctypes.data_as(i64p),
         ctypes.c_int64(n), out.ctypes.data_as(i32p))
     return out.tolist()
+
+
+def wav_info(path: str):
+    """Header-only (n_samples, sample_rate) — fast corpus indexing."""
+    lib = _load()
+    n = ctypes.c_int64(0)
+    sr = ctypes.c_int32(0)
+    rc = lib.wav_info(path.encode(), ctypes.byref(n), ctypes.byref(sr))
+    if rc != 0:
+        raise OSError(f"wav_info({path!r}) failed with code {rc}")
+    return int(n.value), int(sr.value)
+
+
+def wav_read_batch(paths: Sequence[str], max_samples: int):
+    """Decode a batch of WAV files in parallel (OpenMP) into a padded
+    (B, max_samples) float32 array.
+
+    The native counterpart of the reference's DataLoader-worker decode
+    (SURVEY.md §2.10 N6): one call per batch, frames written directly
+    into the collate buffer.  Returns ``(wav, lengths, sample_rates)``.
+    Raises OSError naming the first failing file (unreadable, unsupported
+    format, or longer than ``max_samples``).
+    """
+    lib = _load()
+    n = len(paths)
+    wav = np.zeros((n, max_samples), np.float32)
+    lens = np.zeros((n,), np.int32)
+    rates = np.zeros((n,), np.int32)
+    c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    failed = lib.wav_read_batch(
+        c_paths, ctypes.c_int64(n),
+        wav.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(max_samples),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        rates.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    if failed >= 0:
+        raise OSError(
+            f"wav_read_batch: file {paths[failed]!r} failed "
+            f"(code {int(lens[failed])}; -2 open, -3 parse, -4 format, "
+            f"-5 longer than max_samples={max_samples})")
+    return wav, lens, rates
