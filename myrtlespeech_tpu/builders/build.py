@@ -368,7 +368,8 @@ def build_decoder(cfg: S.SpeechToTextConfig, model) -> Callable:
                 length_norm=pc.length_norm,
                 max_symbols_per_step=pc.max_symbols_per_step,
                 max_output_len=max_output_len,
-                expand_topk=pc.expand_topk)
+                expand_topk=pc.expand_topk,
+                speculative_frames=pc.speculative_frames)
         return beam
     raise ValueError(f"unknown decoder config {type(pc)}")
 

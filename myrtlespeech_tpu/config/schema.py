@@ -370,6 +370,11 @@ class RNNTBeamDecoderConfig:
     length_norm: bool = False
     max_symbols_per_step: int = 30
     expand_topk: Optional[int] = 16
+    # TPU-native extension: lookahead block size for speculative
+    # pure-blank frame consumption (one batched joint per block; the full
+    # expansion body runs only at emitting frames).  Output-identical to
+    # frame-by-frame decoding; None/1 disables.
+    speculative_frames: Optional[int] = 8
 
 
 DecoderConfig = Union[CTCGreedyDecoderConfig, CTCBeamDecoderConfig,

@@ -60,6 +60,70 @@ def _merge_topk(scores, h1, h2, W):
     return top_sc, order[top_pos]
 
 
+def _speculative_decode(f_bt, n_valid, carry0, expand_frame, joint_step,
+                        blank_index, F):
+    """Block-speculative frame loop for one utterance.
+
+    Per ``lax.while_loop`` iteration: ONE batched joint evaluates the next
+    F frames against the current beam's prediction-net outputs, a cheap
+    scan consumes the leading run of *pure-blank* frames (score adds only
+    — hypotheses, hashes, g and state are untouched by blank moves), and
+    the full expansion body runs for the first emitting frame, if any.
+    A frame is pure-blank exactly when no symbol extension can beat the
+    worst blank move — the same condition under which the expansion loop's
+    prune rule exits after its first round, so the result is identical to
+    the frame-by-frame path (``prune_expands`` semantics; tested).
+    """
+    T, H_enc = f_bt.shape
+    W = carry0[4].shape[0]
+    # Pad so the F-frame lookahead window never clamps near the end.
+    f_pad = jnp.pad(f_bt, ((0, F), (0, 0)))
+
+    def cond(loop):
+        t, _ = loop
+        return t < n_valid
+
+    def body(loop):
+        t, carry = loop
+        tokens, lens, h1, h2, score, g, state = carry
+        f_blk = jax.lax.dynamic_slice(f_pad, (t, 0), (F, H_enc))
+        # One joint for all F frames x W hypotheses.
+        logits = joint_step(
+            jnp.repeat(f_blk, W, axis=0),
+            jnp.tile(g, (F,) + (1,) * (g.ndim - 1)))  # (F*W, V)
+        V = logits.shape[-1]
+        lp_blk = jax.nn.log_softmax(
+            logits.astype(jnp.float32), -1).reshape(F, W, V)
+
+        def step(c, inp):
+            lp, valid = inp  # (W, V), bool
+            sc, done, k = c
+            fin_sc = sc + lp[:, blank_index]
+            nb = lp.at[:, blank_index].set(NEG_INF)
+            pure = jnp.max(sc[:, None] + nb) <= jnp.min(fin_sc)
+            consume = (~done) & ((valid & pure) | (~valid))
+            sc = jnp.where(consume & valid, fin_sc, sc)
+            done = done | (valid & (~pure))
+            return (sc, done, k + consume.astype(jnp.int32)), None
+
+        frame_valid = (t + jnp.arange(F)) < n_valid
+        (score, hit, k), _ = jax.lax.scan(
+            step, (score, jnp.asarray(False), jnp.asarray(0, jnp.int32)),
+            (lp_blk, frame_valid))
+
+        carry = (tokens, lens, h1, h2, score, g, state)
+        f_t = jax.lax.dynamic_slice(f_pad, (t + k, 0), (1, H_enc))[0]
+        # NB: under vmap this cond becomes a select (both branches run);
+        # the win is fewer sequential block steps, not branch skipping.
+        carry = jax.lax.cond(
+            hit, lambda c: expand_frame(f_t, c), lambda c: c, carry)
+        return t + k + hit.astype(jnp.int32), carry
+
+    _, carry = jax.lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32),
+                                               carry0))
+    return carry
+
+
 def rnnt_beam_decode(
     f,  # (B, T, H_enc)
     f_lens,  # (B,)
@@ -74,6 +138,7 @@ def rnnt_beam_decode(
     max_output_len: int = 200,
     expand_topk: Optional[int] = None,
     prune_expands: bool = True,
+    speculative_frames: Optional[int] = 8,
 ):
     """Beam-search decode a batch. Returns ``(tokens (B, U), lens (B,))``.
 
@@ -81,10 +146,24 @@ def rnnt_beam_decode(
     non-blank symbols when expanding (None = all V — exact).  The beam can
     only ever keep W survivors, so k >= W loses nothing in practice while
     shrinking the per-round merge/sort from W*(V+1) to W*(k+1) candidates.
+
+    ``speculative_frames``: process frames in lookahead blocks of F.  One
+    batched joint evaluates F frames x W hypotheses at once; consecutive
+    **pure-blank** frames (no symbol extension can beat the worst blank
+    move — exactly the prune rule's exit condition after round 0) are
+    consumed with score adds only, and the full expansion body runs only
+    at the first emitting frame of each block.  On speech-like posteriors
+    most frames are pure blank, so this replaces ~T sequential
+    joint+merge+predict rounds with ~(emissions + T/F) block steps —
+    output-identical to the frame-by-frame loop under ``prune_expands``
+    (tested).  Requires ``prune_expands``; None or 1 disables.
     """
     W = beam_width
     B, T, H_enc = f.shape
     U = max_output_len
+    F = speculative_frames if prune_expands else None
+    if F is not None and F <= 1:
+        F = None
 
     def decode_one(f_bt, n_valid):
         # Hypothesis buffers, leading dim W.
@@ -96,9 +175,9 @@ def rnnt_beam_decode(
         state = init_state_fn(W)
         g, state = predict_step(jnp.full((W,), -1, jnp.int32), state)
 
-        def frame(carry, inputs):
+        def expand_frame(f_t, carry):
+            """Full expansion body for one frame (blank/emit rounds)."""
             tokens, lens, h1, h2, score, g, state = carry
-            f_t, valid = inputs  # (H_enc,), bool
             f_tw = jnp.broadcast_to(f_t[None, :], (W, H_enc))
 
             # Finished set (hyps that took blank this frame).
@@ -195,18 +274,27 @@ def rnnt_beam_decode(
             # The loop only exits once every expanding hypothesis is dead
             # (blank taken, possibly forced by the masked final round), so
             # the finished pool IS the new beam.
-            new = (fin["tokens"], fin["lens"], fin["h1"], fin["h2"],
-                   fin["score"], fin["g"], fin["state"])
+            return (fin["tokens"], fin["lens"], fin["h1"], fin["h2"],
+                    fin["score"], fin["g"], fin["state"])
 
+        def frame(carry, inputs):
+            f_t, valid = inputs  # (H_enc,), bool
+            new = expand_frame(f_t, carry)
             # Frames past the utterance end leave the beam untouched.
             out = jax.tree_util.tree_map(
                 lambda n, o: jnp.where(
                     jnp.reshape(valid, (1,) * n.ndim), n, o), new, carry)
             return out, None
 
-        valid = jnp.arange(T) < n_valid
-        (tokens, lens, h1, h2, score, g, state), _ = jax.lax.scan(
-            frame, (tokens, lens, h1, h2, score, g, state), (f_bt, valid))
+        carry0 = (tokens, lens, h1, h2, score, g, state)
+        if F is None:
+            valid = jnp.arange(T) < n_valid
+            (tokens, lens, h1, h2, score, g, state), _ = jax.lax.scan(
+                frame, carry0, (f_bt, valid))
+        else:
+            (tokens, lens, h1, h2, score, g, state) = _speculative_decode(
+                f_bt, n_valid, carry0, expand_frame, joint_step,
+                blank_index, F)
 
         final = jnp.where(length_norm,
                           score / jnp.maximum(lens, 1).astype(score.dtype),

@@ -199,3 +199,40 @@ def test_beam_pruning_preserves_map_sequence(seed):
             max_output_len=T, prune_expands=prune)
         outs.append(tuple(np.asarray(toks)[0, :int(tlens[0])]))
     assert outs[0] == outs[1]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_beam_speculative_blocks_are_output_invariant(seed):
+    """Speculative frame-blocking (one batched joint per F-frame block,
+    pure-blank frames consumed with score adds) must produce EXACTLY the
+    frame-by-frame beam's output, including ragged f_lens and a blank-
+    biased (speech-like) joint where whole blocks are consumed at once."""
+    rng = np.random.default_rng(100 + seed)
+    B, T, H, V = 3, 17, 4, 6
+    wj = jnp.asarray(rng.standard_normal((2 * H, V)).astype(np.float32))
+    # Bias blank up so most frames are pure-blank (the production shape).
+    wb = jnp.zeros((V,)).at[0].set(3.0)
+    we = jnp.asarray(rng.standard_normal((V + 1, H)).astype(np.float32))
+
+    def predict_step(tok, state):
+        return we[tok + 1], state
+
+    def joint_step(f_t, g):
+        return jnp.concatenate([f_t, g], -1) @ wj + wb
+
+    def init_state_fn(n):
+        return jnp.zeros((n, 1))
+
+    f = jnp.asarray(rng.standard_normal((B, T, H)).astype(np.float32))
+    f_lens = jnp.asarray([T, 5, 11])
+    kw = dict(blank_index=0, beam_width=4, max_symbols_per_step=3,
+              max_output_len=12)
+    base = rnnt_beam_decode(f, f_lens, predict_step, joint_step,
+                            init_state_fn, speculative_frames=None, **kw)
+    for F in (2, 4, 8, 32):
+        spec = rnnt_beam_decode(f, f_lens, predict_step, joint_step,
+                                init_state_fn, speculative_frames=F, **kw)
+        np.testing.assert_array_equal(np.asarray(base[1]),
+                                      np.asarray(spec[1]), err_msg=f"F={F}")
+        np.testing.assert_array_equal(np.asarray(base[0]),
+                                      np.asarray(spec[0]), err_msg=f"F={F}")

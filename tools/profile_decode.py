@@ -21,6 +21,15 @@ def main():
                    help="beam expansion top-k pruning (None = full V)")
     p.add_argument("--prune-ab", action="store_true",
                    help="A/B the Graves-style expansion pruning")
+    p.add_argument("--spec-ab", action="store_true",
+                   help="A/B speculative frame-blocking (F=8 vs off)")
+    p.add_argument("--spec-frames", type=int, default=8)
+    p.add_argument("--blank-bias", type=float, default=0.0,
+                   help="add to the blank logit: untrained weights emit at "
+                        "the max-symbols cap EVERY frame (worst case for "
+                        "pruning/speculation); a positive bias reproduces "
+                        "trained-posterior behaviour (~1 emission per 3-5 "
+                        "frames at +4)")
     args = p.parse_args()
 
     sys.path.insert(0, ".")
@@ -66,6 +75,12 @@ def main():
     make, init_state_fn = build_rnnt_decode_helpers(task.model,
                                                     cfg.speech_to_text.model)
     predict_step, joint_step = make(variables)
+    if args.blank_bias:
+        _base_joint = joint_step
+        bias = jnp.zeros((29,)).at[0].set(args.blank_bias)
+
+        def joint_step(f_t, g, _j=_base_joint, _b=bias):  # noqa: F811
+            return _j(f_t, g) + _b
 
     greedy = jax.jit(lambda f, fl: rnnt_greedy_decode(
         f, fl, predict_step, joint_step, init_state_fn(B), blank_index=0,
@@ -79,21 +94,25 @@ def main():
     print(f"rnnt greedy B={B}: {dt*1000:.1f} ms -> {audio_s/dt:.0f} "
           f"audio-s/s", flush=True)
 
-    for prune in (True, False) if args.prune_ab else (True,):
-        beam = jax.jit(lambda f, fl, _p=prune: rnnt_beam_decode(
-            f, fl, predict_step, joint_step, init_state_fn,
-            blank_index=0, beam_width=args.beam, max_symbols_per_step=4,
-            max_output_len=128, expand_topk=args.expand_topk,
-            prune_expands=_p))
-        toks, lens = beam(f, f_lens)
-        _ = int(jnp.sum(lens))
-        t0 = time.perf_counter()
-        toks, lens = beam(f, f_lens)
-        _ = int(jnp.sum(lens))
-        dt = time.perf_counter() - t0
-        print(f"rnnt beam W={args.beam} k={args.expand_topk} B={B} "
-              f"prune={prune}: {dt*1000:.1f} ms -> "
-              f"{audio_s/dt:.0f} audio-s/s", flush=True)
+    prunes = (True, False) if args.prune_ab else (True,)
+    specs = (args.spec_frames, None) if args.spec_ab else (args.spec_frames,)
+    for prune in prunes:
+        for spec in specs:
+            beam = jax.jit(lambda f, fl, _p=prune, _s=spec: rnnt_beam_decode(
+                f, fl, predict_step, joint_step, init_state_fn,
+                blank_index=0, beam_width=args.beam, max_symbols_per_step=4,
+                max_output_len=128, expand_topk=args.expand_topk,
+                prune_expands=_p, speculative_frames=_s))
+            toks, lens = beam(f, f_lens)
+            n_toks = int(jnp.sum(lens))
+            t0 = time.perf_counter()
+            toks, lens = beam(f, f_lens)
+            _ = int(jnp.sum(lens))
+            dt = time.perf_counter() - t0
+            print(f"rnnt beam W={args.beam} k={args.expand_topk} B={B} "
+                  f"prune={prune} spec={spec}: {dt*1000:.1f} ms -> "
+                  f"{audio_s/dt:.0f} audio-s/s ({n_toks} tokens)",
+                  flush=True)
 
     # CTC beam on synthetic logits of matching shape.
     rng = np.random.default_rng(0)
