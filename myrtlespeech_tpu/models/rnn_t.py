@@ -22,7 +22,8 @@ from typing import Optional, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from myrtlespeech_tpu.config.schema import RNNTConfig
+from myrtlespeech_tpu.config import schema as S
+from myrtlespeech_tpu.config.schema import RNNTConfig, RNNTJointNetConfig
 from myrtlespeech_tpu.models.activations import apply_activation
 from myrtlespeech_tpu.models.fully_connected import FullyConnected
 from myrtlespeech_tpu.models.rnn import RNN
@@ -40,6 +41,78 @@ def time_reduce(x, lengths, factor: int):
     return x, masking.time_reduction_out_lens(lengths, factor)
 
 
+class RNNTJoint(nn.Module):
+    """Factored joint network: ``act(f) @ W_f + act(g) @ W_g`` broadcast-add.
+
+    The reference joint (``src/myrtlespeech/model/rnn_t.py :: RNNT``,
+    SURVEY.md §3.3) broadcasts f and g to a ``(B, T, U+1, H_enc+H_pred)``
+    concat and feeds it through an MLP — redundantly recomputing
+    ``f @ W[:H_enc]`` for every u and ``g @ W[H_enc:]`` for every t.
+    Because the pre-FC activation is elementwise and the first FC layer is
+    linear over the concat, the first layer factors exactly:
+
+        FC1(act(concat(f, g))) == act(f) @ W[:H_enc] + act(g) @ W[H_enc:] + b
+
+    so the two projections run as small ``(B,T,K)`` / ``(B,U+1,K)``
+    matmuls and only the K-wide *sum* ever exists per lattice cell.  At
+    the flagship shape (T'=250, U+1=65, H=1344, K=512) this removes
+    ~97% of the first layer's FLOPs (the ratio is ``T*U/(T+U)``) and the
+    broadcast concat tensor entirely.  The parameter is kept as ONE
+    ``(H_enc+H_pred, K)`` kernel — identical shape, init distribution and
+    TP column-sharding as the unfactored Dense; the split is a trace-time
+    slice.
+    """
+
+    cfg: RNNTJointNetConfig
+    vocab_size: int
+    h_enc: int
+    h_pred: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    def setup(self):
+        c = self.cfg.fc
+        K = c.hidden_size if c.num_hidden_layers >= 1 else self.vocab_size
+        self.kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                 (self.h_enc + self.h_pred, K), jnp.float32)
+        self.bias = self.param("bias", nn.initializers.zeros, (K,),
+                               jnp.float32)
+        if c.num_hidden_layers >= 1:
+            rest = S.replace(c, num_hidden_layers=c.num_hidden_layers - 1)
+            self.rest = FullyConnected(rest, self.vocab_size,
+                                       dtype=self.dtype)
+            self.drop = (nn.Dropout(rate=c.dropout)
+                         if c.dropout > 0 else None)
+
+    def project(self, f, g):
+        """First-layer projections ``(fp, gp)`` with the pre-FC activation
+        applied and the first-layer bias folded into ``gp``."""
+        f = apply_activation(self.cfg.activation, f).astype(self.dtype)
+        g = apply_activation(self.cfg.activation, g).astype(self.dtype)
+        kernel = self.kernel.astype(self.dtype)
+        fp = f @ kernel[:self.h_enc]
+        gp = g @ kernel[self.h_enc:] + self.bias.astype(self.dtype)
+        return fp, gp
+
+    def tail(self, h, train: bool = False):
+        """Everything after the factored first layer: activation + dropout
+        + remaining FC hidden layers + final vocab Dense."""
+        c = self.cfg.fc
+        if c.num_hidden_layers == 0:
+            return h  # first layer WAS the vocab projection
+        h = apply_activation(c.activation, h)
+        if self.drop is not None:
+            h = self.drop(h, deterministic=not train)
+        return self.rest(h, train)
+
+    def __call__(self, f, g, train: bool = False):
+        fp, gp = self.project(f, g)
+        if f.ndim == 2:
+            h = fp + gp  # single decode step: (B, K)
+        else:
+            h = fp[:, :, None, :] + gp[:, None, :, :]  # (B, T, U+1, K)
+        return self.tail(h, train)
+
+
 class RNNT(nn.Module):
     cfg: RNNTConfig
     vocab_size: int  # |alphabet| + 1 (blank)
@@ -53,8 +126,17 @@ class RNNT(nn.Module):
         self.embedding = nn.Embed(self.vocab_size, c.prediction.embedding_dim,
                                   dtype=self.dtype, param_dtype=jnp.float32)
         self.pred_rnn = RNN(c.prediction.rnn, dtype=self.dtype)
-        self.joint_fc = FullyConnected(c.joint.fc, self.vocab_size,
-                                       dtype=self.dtype)
+        if c.encoder.rnn2 is not None:
+            h_enc = c.encoder.rnn2.hidden_size * (
+                2 if c.encoder.rnn2.bidirectional else 1)
+        else:
+            h_enc = (c.encoder.rnn1.hidden_size
+                     * (2 if c.encoder.rnn1.bidirectional else 1)
+                     * c.encoder.time_reduction_factor)
+        h_pred = c.prediction.rnn.hidden_size * (
+            2 if c.prediction.rnn.bidirectional else 1)
+        self.joint_net = RNNTJoint(c.joint, self.vocab_size, h_enc=h_enc,
+                                   h_pred=h_pred, dtype=self.dtype)
 
     def encode(self, x, lengths, train: bool = False):
         """Acoustic encoder: ``(B, T, F) -> (B, T', H_enc)`` + lengths."""
@@ -95,25 +177,23 @@ class RNNT(nn.Module):
         return g[:, 0, :], new_state
 
     def joint(self, f, g, train: bool = False):
-        """Joint net on broadcast-combined encoder/prediction features.
+        """Joint net on encoder/prediction features (factored first layer).
 
         f: ``(B, T, H_enc)`` (or ``(B, H_enc)``), g: ``(B, U+1, H_pred)``
         (or ``(B, H_pred)``).  Returns logits ``(B, T, U+1, V)`` (or
-        ``(B, V)`` for single-step decode).
+        ``(B, V)`` for single-step decode).  See :class:`RNNTJoint` — the
+        broadcast concat of the reference joint never exists.
         """
-        c = self.cfg.joint
-        if f.ndim == 2 and g.ndim == 2:
-            h = jnp.concatenate([f, g], axis=-1)
-        else:
-            T = f.shape[1]
-            U1 = g.shape[1]
-            fe = jnp.broadcast_to(f[:, :, None, :],
-                                  (f.shape[0], T, U1, f.shape[-1]))
-            ge = jnp.broadcast_to(g[:, None, :, :],
-                                  (g.shape[0], T, U1, g.shape[-1]))
-            h = jnp.concatenate([fe, ge], axis=-1)
-        h = apply_activation(c.activation, h)
-        return self.joint_fc(h, train)
+        return self.joint_net(f, g, train)
+
+    def joint_project(self, f, g):
+        """Factored joint first-layer projections (for the fused Pallas
+        joint+loss path): ``(fp (B,T,K), gp (B,U+1,K))``."""
+        return self.joint_net.project(f, g)
+
+    def joint_tail(self, h, train: bool = False):
+        """Joint layers after the factored first layer (fused-path use)."""
+        return self.joint_net.tail(h, train)
 
     def __call__(self, x, x_lens, labels, label_lens, train: bool = False):
         """Full training forward: joint logits ``(B, T', U+1, V)``."""

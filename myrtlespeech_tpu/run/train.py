@@ -56,6 +56,21 @@ def init_state(task: Task, rng: jax.Array, example_batch: Dict[str, Any]
                       rng=rng)
 
 
+def _batch_weights(batch):
+    """0/1 per-example weights masking duplicated remainder-fill rows.
+
+    ``BucketedLoader`` repeats the last sample to fill a bucket's final
+    chunk and reports the real count as ``batch['n_real']``; weighting the
+    loss by this mask keeps small-dataset means exact and stops the
+    duplicates getting multiple gradient weight (VERDICT r2 #8).
+    """
+    n_real = batch.get("n_real")
+    if n_real is None:
+        return None
+    B = batch["wav"].shape[0]
+    return jnp.arange(B) < n_real
+
+
 def _forward(task: Task, params, batch_stats, rng, batch, train: bool):
     """Shared forward: preprocess -> model -> per-batch mean loss."""
     rng, feat_rng, drop_rng = jax.random.split(rng, 3)
@@ -89,14 +104,15 @@ def _forward(task: Task, params, batch_stats, rng, batch, train: bool):
             # (SURVEY.md §3.3 memory hot spot).
             loss = fused(variables, f, f_lens, g, batch["labels"],
                          batch["label_lens"], train, kwargs["rngs"],
-                         chunk_size=chunk)
+                         chunk_size=chunk, weights=_batch_weights(batch))
             return loss, (None, f_lens, new_stats)
         logits, _, new_stats3 = _apply_split_transducer(
             task, variables, batch_stats, feats, flens, batch, kwargs,
             want="joint", f=f, g=g)
         new_stats = _merge_stats(batch_stats, new_stats, new_stats3)
         loss = task.loss_fn(logits, f_lens, batch["labels"],
-                            batch["label_lens"])
+                            batch["label_lens"],
+                            weights=_batch_weights(batch))
         return loss, (logits, f_lens, new_stats)
     out = task.model.apply(variables, feats, flens, train, **kwargs)
     if kwargs["mutable"]:
@@ -106,7 +122,8 @@ def _forward(task: Task, params, batch_stats, rng, batch, train: bool):
         logits, out_lens = out
         new_stats = batch_stats
     loss = task.loss_fn(logits, out_lens, batch["labels"],
-                        batch["label_lens"])
+                        batch["label_lens"],
+                        weights=_batch_weights(batch))
     return loss, (logits, out_lens, new_stats)
 
 
@@ -127,10 +144,11 @@ def _select_joint_path(task, f, g, backward: bool):
     B, T, H_enc = f.shape
     U1, H_pred = g.shape[1], g.shape[2]
     jc = task.cfg.speech_to_text.model.joint.fc
-    # Per-cell hidden width: the broadcast concat plus every FC hidden
-    # layer's activations (models/rnn_t.py::joint materialises all of
-    # them as (B, T, U+1, ·) tensors on the full path).
-    h_eff = (H_enc + H_pred) + jc.num_hidden_layers * (jc.hidden_size or 0)
+    # Per-cell hidden width: every FC hidden layer's activations.  The
+    # factored joint (models/rnn_t.py::RNNTJoint) never materialises the
+    # broadcast concat — only the K-wide projected sum per hidden layer
+    # plus the logits exist as (B, T, U+1, ·) tensors on the full path.
+    h_eff = jc.num_hidden_layers * (jc.hidden_size or 0)
     vocab = task.model.vocab_size
     hidden_bytes = jnp.dtype(task.model.dtype).itemsize
     chunk = plan_transducer_chunk(B, T, U1, h_eff, vocab,
@@ -236,11 +254,13 @@ def eval_step_body(task: Task, decode: bool = True,
             fused, chunk = _select_joint_path(task, f, g, backward=False)
             if fused is not None:
                 loss = fused(variables, f, f_lens, g, batch["labels"],
-                             batch["label_lens"], chunk_size=chunk)
+                             batch["label_lens"], chunk_size=chunk,
+                             weights=_batch_weights(batch))
             else:
                 logits = task.model.apply(variables, f, g, method=RNNT.joint)
                 loss = task.loss_fn(logits, f_lens, batch["labels"],
-                                    batch["label_lens"])
+                                    batch["label_lens"],
+                                    weights=_batch_weights(batch))
             metrics = {"loss": loss}
             if decode:
                 toks, tlens = task.decoder(variables, f, f_lens,

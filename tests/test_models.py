@@ -206,6 +206,48 @@ def test_rnnt_forward_shapes():
     np.testing.assert_array_equal(np.asarray(f_lens), [5, 3])
 
 
+@pytest.mark.parametrize("num_hidden", [0, 1, 2])
+def test_rnnt_joint_factoring_matches_concat(num_hidden):
+    """RNNTJoint's factored first layer == explicit broadcast-concat MLP.
+
+    The factored joint computes ``act(f) @ K[:Hf] + act(g) @ K[Hf:] + b``;
+    the unfactored reference semantics (SURVEY.md §3.3) build the
+    ``(B, T, U+1, Hf+Hg)`` concat and run the whole MLP on it.  Both must
+    agree to fp32 tolerance for every num_hidden_layers, including the
+    single-step (ndim==2) decode path.
+    """
+    from myrtlespeech_tpu.models.activations import apply_activation
+    from myrtlespeech_tpu.models.rnn_t import RNNTJoint
+
+    rng = np.random.RandomState(0)
+    B, T, U1, Hf, Hg, V = 2, 4, 3, 6, 5, 7
+    jc = RNNTJointNetConfig(
+        activation=Activation.RELU,
+        fc=FullyConnectedConfig(num_hidden_layers=num_hidden, hidden_size=8,
+                                activation=Activation.RELU))
+    f = jnp.asarray(rng.randn(B, T, Hf).astype(np.float32))
+    g = jnp.asarray(rng.randn(B, U1, Hg).astype(np.float32))
+    m = RNNTJoint(jc, vocab_size=V, h_enc=Hf, h_pred=Hg, dtype=jnp.float32)
+    vars_ = m.init(jax.random.PRNGKey(1), f, g, False)
+    out = m.apply(vars_, f, g, False)
+    assert out.shape == (B, T, U1, V)
+
+    # Reference: explicit broadcast concat through the same parameters.
+    fa = apply_activation(jc.activation, f)
+    ga = apply_activation(jc.activation, g)
+    h = jnp.concatenate([
+        jnp.broadcast_to(fa[:, :, None, :], (B, T, U1, Hf)),
+        jnp.broadcast_to(ga[:, None, :, :], (B, T, U1, Hg))], axis=-1)
+    h = h @ vars_["params"]["kernel"] + vars_["params"]["bias"]
+    ref = m.apply(vars_, h, False, method=RNNTJoint.tail)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    # Single-step decode path agrees with the (t, u) cell of the full grid.
+    out2 = m.apply(vars_, f[:, 1, :], g[:, 2, :], False)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out[:, 1, 2]),
+                               atol=1e-5)
+
+
 def test_rnnt_exposed_parts_consistent():
     """encode + predict + joint == __call__ (decoders rely on the parts)."""
     cfg = _small_rnnt()

@@ -134,3 +134,47 @@ def test_eval_step_decodes_with_padding_invariance():
     t2, l2 = np.asarray(m2["decoded_tokens"]), np.asarray(m2["decoded_lens"])
     assert l1[1] == l2[1]
     np.testing.assert_array_equal(t1[1, :l1[1]], t2[1, :l2[1]])
+
+
+def test_n_real_masks_duplicated_pad_rows():
+    """Eval/train losses must exclude BucketedLoader's remainder-fill
+    duplicates: a batch with n_real=2 scores identically to the 2-row
+    batch, for both CTC mean loss and gradient weighting (VERDICT r2 #8).
+
+    BatchNorm is disabled here: BN batch statistics are computed over the
+    whole (padded) batch by design — remainder duplicates are real
+    samples, so the stats stay in-distribution, but they make the forward
+    depend on batch composition, which is exactly what this test isolates
+    away from."""
+    cfg = _cfg()
+    conv = S.replace(cfg.speech_to_text.model.conv_block[0],
+                     batch_norm=False)
+    cfg = S.replace(cfg, speech_to_text=S.replace(
+        cfg.speech_to_text, model=S.replace(
+            cfg.speech_to_text.model, conv_block=(conv,))))
+    task = build_task(cfg, steps_per_epoch=2)
+    b2 = _batch()
+    # 4-row batch where rows 2,3 duplicate row 1 (loader remainder fill).
+    b4 = {k: np.concatenate([v, v[1:], v[1:]], axis=0) for k, v in b2.items()}
+    b4["n_real"] = np.asarray(2, np.int32)
+    state = init_state(task, jax.random.PRNGKey(0), b2)
+
+    ev = eval_step_body(task, decode=False)
+    loss2 = float(ev(state, b2)["loss"])
+    loss4 = float(ev(state, b4)["loss"])
+    np.testing.assert_allclose(loss4, loss2, rtol=1e-5)
+
+    # Gradients: the duplicated rows must contribute nothing.
+    step = train_step_body(task)
+    s_a, _ = step(state, b2)
+    # n_real present but full batch: weights all-ones == no mask.
+    b2_full = dict(b2, n_real=np.asarray(2, np.int32))
+    s_b, _ = step(state, b2_full)
+    pa = jax.tree_util.tree_leaves(s_a.params)
+    pb = jax.tree_util.tree_leaves(s_b.params)
+    for a, b in zip(pa, pb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    s_c, _ = step(state, b4)
+    pc = jax.tree_util.tree_leaves(s_c.params)
+    for a, c in zip(pa, pc):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-5)
