@@ -2,7 +2,10 @@
 # here there is no codegen — configs are plain dataclasses — so the targets
 # are native build, tests, and benchmarks).
 
-.PHONY: native test bench profile clean
+.PHONY: native test bench profile docs clean
+
+docs:
+	python tools/gen_api_docs.py
 
 native:
 	$(MAKE) -C myrtlespeech_tpu/native

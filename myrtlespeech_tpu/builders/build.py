@@ -372,13 +372,23 @@ def build_decoder(cfg: S.SpeechToTextConfig, model) -> Callable:
             from myrtlespeech_tpu.decoding.lm import load_bigram_lm
             lm_bigram = load_bigram_lm(pc.lm_bigram_path,
                                        vocab_size=vocab_size(cfg))
+        word_lm = None
+        if pc.word_lm_path is not None:
+            from myrtlespeech_tpu.decoding.lm import load_word_lm
+            if pc.separator_index is None:
+                raise ValueError(
+                    "word_lm_path requires separator_index (the word "
+                    "boundary symbol the LM scores on)")
+            word_lm = load_word_lm(pc.word_lm_path)
         return functools.partial(
             ctc_beam_decode, blank_index=pc.blank_index,
             beam_width=pc.beam_width, prune_threshold=pc.prune_threshold,
             word_count_beta=pc.word_count_beta,
             separator_index=pc.separator_index,
             lm_alpha=pc.lm_alpha if lm_bigram is not None else None,
-            lm_bigram=lm_bigram, expand_topk=pc.expand_topk)
+            lm_bigram=lm_bigram,
+            word_lm_alpha=pc.word_lm_alpha if word_lm is not None else None,
+            word_lm=word_lm, expand_topk=pc.expand_topk)
     make, init_state_fn = build_rnnt_decode_helpers(model, cfg.model)
     if isinstance(pc, S.RNNTGreedyDecoderConfig):
         def greedy(variables, f, f_lens, max_output_len: int = 200):

@@ -29,9 +29,36 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from myrtlespeech_tpu.decoding.lm import (WORD_LM_PROBES, WORD_SEED1,
+                                          WORD_SEED2, WordLM)
+
 NEG_INF = -1e30
 _MUL1 = jnp.uint32(0x01000193)  # FNV-ish multipliers for the rolling hashes
 _MUL2 = jnp.uint32(0x00100001)
+
+
+def _word_lm_lookup(key1, key2, logp, oov, h1, h2):
+    """Probe the open-addressed word table for hash pairs ``(h1, h2)``.
+
+    Double hashing with a static probe count (decoding/lm.py builds the
+    table so every stored word is reachable within WORD_LM_PROBES).
+    Vectorised over any h1/h2 shape; misses score ``oov``.
+    """
+    S = key1.shape[0]
+    # Mirror the build-time perturbation of the (0, 0) hash pair (the
+    # empty-slot marker).
+    zero = (h1 == 0) & (h2 == 0)
+    h1 = jnp.where(zero, jnp.uint32(1), h1)
+    step = h2 | jnp.uint32(1)
+    res = jnp.full(h1.shape, oov, jnp.float32)
+    found = jnp.zeros(h1.shape, bool)
+    for j in range(WORD_LM_PROBES):
+        idx = ((h1 + jnp.uint32(j) * step)
+               & jnp.uint32(S - 1)).astype(jnp.int32)
+        hit = (key1[idx] == h1) & (key2[idx] == h2) & ~found
+        res = jnp.where(hit, logp[idx], res)
+        found = found | hit
+    return res
 
 
 def _seg_logsumexp(vals, seg_start):
@@ -55,9 +82,11 @@ def _seg_logsumexp(vals, seg_start):
 def _beam_step(carry, logp_t, *, W: int, V: int, U: int, blank: int,
                prune_log: float, word_beta: Optional[float],
                separator: Optional[int], lm_alpha: Optional[float] = None,
-               lm_bigram=None, expand_topk: Optional[int] = None):
+               lm_bigram=None, expand_topk: Optional[int] = None,
+               word_lm_alpha: Optional[float] = None, word_lm=None):
     """One frame of prefix beam search for a single utterance."""
-    prefixes, lengths, words, h1, h2, p_b, p_nb, valid_t = carry
+    (prefixes, lengths, words, h1, h2, wh1, wh2, p_b, p_nb,
+     valid_t) = carry
     lp, is_valid = logp_t  # (V,), scalar bool
 
     total = jnp.logaddexp(p_b, p_nb)  # (W,)
@@ -90,11 +119,23 @@ def _beam_step(carry, logp_t, *, W: int, V: int, U: int, blank: int,
     char_ok = (sym != blank)[None, :]
     pruned = lp_top[None, :] >= prune_log
     ext_p = jnp.where(char_ok & pruned, ext_p, NEG_INF)
-    if word_beta is not None and separator is not None:
-        # Word-count bonus fires when a separator completes a word.
+    if separator is not None and (word_beta is not None
+                                  or word_lm is not None):
+        # A separator extension completes the beam's current word.
         completes = (sym[None, :] == separator) & \
             (last[:, None] != separator) & (lengths[:, None] > 0)
-        ext_p = ext_p + jnp.where(completes, word_beta, 0.0)
+        if word_beta is not None:
+            # Word-count bonus (the reference's beta term).
+            ext_p = ext_p + jnp.where(completes, word_beta, 0.0)
+        if word_lm is not None and word_lm_alpha is not None:
+            # Word-level LM weighting (the reference's alpha term at word
+            # granularity): score the COMPLETED word — identified by the
+            # beam's rolling word-hash pair — via the on-device hash
+            # table.  One probe set per beam, broadcast over symbols.
+            k1, k2, tlp, oov = word_lm
+            wlp = _word_lm_lookup(k1, k2, tlp, oov, wh1, wh2)  # (W,)
+            ext_p = ext_p + jnp.where(completes,
+                                      word_lm_alpha * wlp[:, None], 0.0)
     if lm_alpha is not None and lm_bigram is not None:
         # Character-bigram LM weighting (the reference's alpha term):
         # score += alpha * log p_lm(c | last); row `V` of the matrix is
@@ -118,6 +159,23 @@ def _beam_step(carry, logp_t, *, W: int, V: int, U: int, blank: int,
     nh1 = jnp.where(ext_char >= 0, ph1 * _MUL1 + cu, ph1)
     nh2 = jnp.where(ext_char >= 0, ph2 * _MUL2 + cu, ph2)
 
+    # Rolling hashes for the CURRENT word (reset on separator, kept on
+    # stay): how the word-LM identifies the completed word.  Uses the
+    # same multipliers as the prefix hashes but lm.py's nonzero seeds so
+    # "empty word" is distinguishable.
+    pwh1, pwh2 = wh1[parent], wh2[parent]
+    if separator is not None:
+        is_sep = ext_char == separator
+        nwh1 = jnp.where(
+            ext_char < 0, pwh1,
+            jnp.where(is_sep, WORD_SEED1, pwh1 * _MUL1 + cu))
+        nwh2 = jnp.where(
+            ext_char < 0, pwh2,
+            jnp.where(is_sep, WORD_SEED2, pwh2 * _MUL2 + cu))
+    else:
+        nwh1 = jnp.where(ext_char < 0, pwh1, pwh1 * _MUL1 + cu)
+        nwh2 = jnp.where(ext_char < 0, pwh2, pwh2 * _MUL2 + cu)
+
     # Kill candidates from dead beams / overlong prefixes.
     alive = total[parent] > NEG_INF / 2
     too_long = (ext_char >= 0) & (lengths[parent] >= U)
@@ -128,6 +186,7 @@ def _beam_step(carry, logp_t, *, W: int, V: int, U: int, blank: int,
     # ---- merge duplicates (sort by hash + segmented logsumexp) ----------
     order = jnp.argsort(nh1)
     s1, s2 = nh1[order], nh2[order]
+    sw1, sw2 = nwh1[order], nwh2[order]
     spb, spnb = cand_pb[order], cand_pnb[order]
     sparent, schar = parent[order], ext_char[order]
     prev_same = jnp.concatenate(
@@ -151,6 +210,7 @@ def _beam_step(carry, logp_t, *, W: int, V: int, U: int, blank: int,
     src = sparent[top_idx]
     ch = schar[top_idx]
     new_h1, new_h2 = s1[top_idx], s2[top_idx]
+    new_wh1, new_wh2 = sw1[top_idx], sw2[top_idx]
 
     new_prefixes = prefixes[src]
     new_lengths = lengths[src]
@@ -167,6 +227,7 @@ def _beam_step(carry, logp_t, *, W: int, V: int, U: int, blank: int,
     keep = lambda n, o: jnp.where(is_valid, n, o)
     carry = (keep(new_prefixes, prefixes), keep(new_lengths, lengths),
              keep(new_words, words), keep(new_h1, h1), keep(new_h2, h2),
+             keep(new_wh1, wh1), keep(new_wh2, wh2),
              keep(new_pb, p_b), keep(new_pnb, p_nb), valid_t)
     return carry, None
 
@@ -177,6 +238,8 @@ def ctc_beam_decode(logits, logit_lens, *, blank_index: int = 0,
                     separator_index: Optional[int] = None,
                     lm_alpha: Optional[float] = None,
                     lm_bigram=None,
+                    word_lm_alpha: Optional[float] = None,
+                    word_lm: Optional[WordLM] = None,
                     max_output_len: Optional[int] = None,
                     expand_topk: Optional[int] = None):
     """Prefix-beam-search decode a batch of ``(B, T, V)`` logits.
@@ -185,15 +248,29 @@ def ctc_beam_decode(logits, logit_lens, *, blank_index: int = 0,
     ``V`` = sentence start) scored with weight ``lm_alpha`` — the
     device-array form of the reference's LM alpha option.
 
+    ``word_lm``: optional :class:`~myrtlespeech_tpu.decoding.lm.WordLM`
+    hash table; each word completed by a ``separator_index`` emission is
+    scored ``word_lm_alpha * log p_lm(word)`` inside the scan (plus the
+    final unterminated word at utterance end) — the reference's
+    word-level LM alpha semantics, on device.  Requires
+    ``separator_index``.
+
     Returns ``(tokens (B, U) int32, token_lens (B,) int32)`` for the best
     prefix per utterance, where ``U = max_output_len or T``.
     """
     B, T, V = logits.shape
     U = max_output_len or T
     W = beam_width
+    if word_lm is not None and separator_index is None:
+        raise ValueError("word_lm scoring requires separator_index")
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     prune_log = jnp.log(jnp.asarray(prune_threshold, jnp.float32)) \
         if prune_threshold > 0 else jnp.asarray(NEG_INF)
+    wl = None
+    if word_lm is not None:
+        wl = (jnp.asarray(word_lm.key1), jnp.asarray(word_lm.key2),
+              jnp.asarray(word_lm.logp),
+              jnp.float32(word_lm.oov_log_prob))
 
     step = functools.partial(
         _beam_step, W=W, V=V, U=U, blank=blank_index,
@@ -201,7 +278,8 @@ def ctc_beam_decode(logits, logit_lens, *, blank_index: int = 0,
         separator=separator_index, lm_alpha=lm_alpha,
         lm_bigram=None if lm_bigram is None
         else jnp.asarray(lm_bigram, jnp.float32),
-        expand_topk=expand_topk)
+        expand_topk=expand_topk,
+        word_lm_alpha=word_lm_alpha, word_lm=wl)
 
     def decode_one(lp_bt, n_valid):
         # Initial beam: single empty prefix (p_b = 0), rest dead.
@@ -210,13 +288,23 @@ def ctc_beam_decode(logits, logit_lens, *, blank_index: int = 0,
         words = jnp.zeros((W,), jnp.int32)
         h1 = jnp.zeros((W,), jnp.uint32)
         h2 = jnp.zeros((W,), jnp.uint32)
+        wh1 = jnp.full((W,), WORD_SEED1, jnp.uint32)
+        wh2 = jnp.full((W,), WORD_SEED2, jnp.uint32)
         p_b = jnp.full((W,), NEG_INF).at[0].set(0.0)
         p_nb = jnp.full((W,), NEG_INF)
         valid = jnp.arange(T) < n_valid
-        (prefixes, lengths, words, h1, h2, p_b, p_nb, _), _ = jax.lax.scan(
-            step, (prefixes, lengths, words, h1, h2, p_b, p_nb, None),
+        (prefixes, lengths, words, h1, h2, wh1, wh2, p_b, p_nb,
+         _), _ = jax.lax.scan(
+            step, (prefixes, lengths, words, h1, h2, wh1, wh2, p_b, p_nb,
+                   None),
             (lp_bt, valid))
         score = jnp.logaddexp(p_b, p_nb)
+        if wl is not None and word_lm_alpha is not None:
+            # Score the final unterminated word (no trailing separator):
+            # beams whose word-hash pair is not the empty seeds carry one.
+            has_word = (wh1 != WORD_SEED1) | (wh2 != WORD_SEED2)
+            wlp = _word_lm_lookup(*wl, wh1, wh2)
+            score = score + jnp.where(has_word, word_lm_alpha * wlp, 0.0)
         best = jnp.argmax(score)
         return prefixes[best], lengths[best]
 

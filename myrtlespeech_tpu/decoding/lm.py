@@ -14,12 +14,22 @@ and is scored with one gather inside the beam-search scan
 is exactly what fits this shape; higher-order LMs can be distilled into it
 or applied in a host-side rescoring pass over the returned beam.
 
-This module estimates, saves and loads such matrices.
+This module estimates, saves and loads such matrices, plus the
+**word-level** companion: the reference's likelier LM semantics scores the
+*completed word* when a separator is emitted (Hannun 2014 eq. 2 applies
+``p_lm`` per word).  A word LM on TPU cannot be a dict lookup; here it is
+an **open-addressed hash table in device arrays** — ``(key1, key2, logp)``
+rows probed with double hashing — so the beam search scores a completed
+word with a handful of gathers inside the scan, zero host traffic
+(``decoding/ctc_beam.py``).  Words are keyed by the same rolling FNV-style
+hashes over alphabet indices that the beam maintains per prefix, so the
+in-scan word hash and the table key agree by construction.
 """
 
 from __future__ import annotations
 
-from typing import Iterable, Optional
+from dataclasses import dataclass
+from typing import Dict, Iterable, Optional
 
 import numpy as np
 
@@ -27,6 +37,119 @@ from myrtlespeech_tpu.data.alphabet import Alphabet
 
 #: Row index used for the sentence-start context (no previous character).
 START = -1
+
+# Rolling-hash constants shared with decoding/ctc_beam.py's word hashes.
+WORD_MUL1 = np.uint32(0x01000193)
+WORD_MUL2 = np.uint32(0x00100001)
+WORD_SEED1 = np.uint32(2166136261)
+WORD_SEED2 = np.uint32(0x9E3779B9)
+#: Fixed double-hashing probe count (static inside the jitted beam scan).
+WORD_LM_PROBES = 4
+
+
+def word_hashes(indices: Iterable[int]) -> tuple[np.uint32, np.uint32]:
+    """Rolling hash pair of a word given as alphabet indices.
+
+    Must match the in-scan recurrence in ``ctc_beam._beam_step``:
+    ``h = h * MUL + (index + 1)`` starting from the seeds.
+    """
+    h1, h2 = WORD_SEED1, WORD_SEED2
+    for c in indices:
+        cu = np.uint32(int(c) + 1)
+        h1 = np.uint32(h1 * WORD_MUL1 + cu)
+        h2 = np.uint32(h2 * WORD_MUL2 + cu)
+    return h1, h2
+
+
+@dataclass(frozen=True)
+class WordLM:
+    """Open-addressed word-unigram table for on-device lookup.
+
+    ``key1/key2/logp`` have power-of-two length ``S``; empty slots hold
+    ``key1 == key2 == 0``.  Probe ``j`` of hash pair ``(h1, h2)`` is
+    ``(h1 + j * (h2 | 1)) & (S - 1)``; every stored word is reachable
+    within :data:`WORD_LM_PROBES` probes (enforced at build time).
+    ``oov_log_prob`` scores words not in the table.
+    """
+
+    key1: np.ndarray
+    key2: np.ndarray
+    logp: np.ndarray
+    oov_log_prob: float
+
+
+def estimate_word_lm(transcripts: Iterable[str], alphabet: Alphabet, *,
+                     separator: str = " ", smoothing: float = 1.0,
+                     oov_log_prob: Optional[float] = None) -> WordLM:
+    """Estimate a word-unigram :class:`WordLM` from transcripts.
+
+    Splits on ``separator``, maps words to alphabet indices (words with
+    out-of-alphabet characters are skipped), and builds the device hash
+    table of add-``smoothing`` unigram log-probs.  ``oov_log_prob``
+    defaults to the log-prob of an unseen word under the smoothed model.
+    """
+    counts: Dict[tuple, float] = {}
+    total = 0
+    for line in transcripts:
+        for word in line.split(separator):
+            if not word or any(ch not in alphabet for ch in word):
+                continue
+            key = tuple(alphabet.get_indices(word))
+            counts[key] = counts.get(key, 0.0) + 1.0
+            total += 1
+    n_types = max(len(counts), 1)
+    denom = total + smoothing * (n_types + 1)  # +1: the OOV "type"
+    if oov_log_prob is None:
+        oov_log_prob = float(np.log(smoothing / denom))
+    entries = [(word_hashes(k), np.log((c + smoothing) / denom))
+               for k, c in counts.items()]
+    return _build_table(entries, oov_log_prob)
+
+
+def _build_table(entries, oov_log_prob: float) -> WordLM:
+    """Place (hash-pair, logp) entries with <= WORD_LM_PROBES probes."""
+    S = 8
+    while S < 4 * max(len(entries), 1):
+        S *= 2
+    while True:
+        key1 = np.zeros((S,), np.uint32)
+        key2 = np.zeros((S,), np.uint32)
+        logp = np.zeros((S,), np.float32)
+        ok = True
+        for (h1, h2), lp in entries:
+            if h1 == 0 and h2 == 0:
+                h1 = np.uint32(1)  # never collide with the empty marker
+            step = np.uint32(h2 | 1)
+            for j in range(WORD_LM_PROBES):
+                idx = int((h1 + np.uint32(j) * step) & np.uint32(S - 1))
+                if key1[idx] == h1 and key2[idx] == h2:
+                    break  # duplicate hash pair: keep first
+                if key1[idx] == 0 and key2[idx] == 0:
+                    key1[idx], key2[idx], logp[idx] = h1, h2, lp
+                    break
+            else:
+                ok = False
+                break
+        if ok:
+            return WordLM(key1=key1, key2=key2, logp=logp,
+                          oov_log_prob=float(oov_log_prob))
+        S *= 2
+
+
+def save_word_lm(path: str, lm: WordLM) -> None:
+    """Save a :class:`WordLM` (.npz)."""
+    np.savez(path, key1=lm.key1, key2=lm.key2, logp=lm.logp,
+             oov_log_prob=np.float32(lm.oov_log_prob))
+
+
+def load_word_lm(path: str) -> WordLM:
+    """Load a :class:`WordLM` saved by :func:`save_word_lm`."""
+    z = np.load(path)
+    S = z["key1"].shape[0]
+    if S & (S - 1):
+        raise ValueError(f"{path}: table size {S} is not a power of two")
+    return WordLM(key1=z["key1"], key2=z["key2"], logp=z["logp"],
+                  oov_log_prob=float(z["oov_log_prob"]))
 
 
 def estimate_bigram_lm(

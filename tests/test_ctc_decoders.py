@@ -175,3 +175,64 @@ def test_beam_expand_topk_small_still_finds_peaked_path():
                         prune_threshold=0.0, expand_topk=2)
     np.testing.assert_array_equal(np.asarray(full[0]), np.asarray(k[0]))
     np.testing.assert_array_equal(np.asarray(full[1]), np.asarray(k[1]))
+
+
+def test_beam_word_lm_changes_winner():
+    """A word LM flips an acoustically ambiguous decode to the likely word.
+
+    V=4: blank=0, separator=1, 'a'=2, 'b'=3.  Acoustics slightly prefer
+    'b' both before and after a strong separator; the word LM knows only
+    the word 'a'.  With alpha on, both the separator-completed first word
+    AND the final unterminated word must flip to 'a'.
+    """
+    from myrtlespeech_tpu.decoding.lm import WordLM, word_hashes
+
+    T, V = 3, 4
+    logits = np.full((1, T, V), -5.0, np.float32)
+    logits[0, 0, 2], logits[0, 0, 3] = 4.0, 4.2   # 'b' slightly ahead
+    logits[0, 1, 1] = 6.0                         # separator
+    logits[0, 2, 2], logits[0, 2, 3] = 4.0, 4.2   # 'b' slightly ahead
+    h1a, h2a = word_hashes([2])  # the word "a"
+    key1 = np.zeros((8,), np.uint32)
+    key2 = np.zeros((8,), np.uint32)
+    logp = np.zeros((8,), np.float32)
+    step = np.uint32(h2a | 1)
+    idx = int((h1a + np.uint32(0) * step) & np.uint32(7))
+    key1[idx], key2[idx], logp[idx] = h1a, h2a, 0.0  # p("a") = 1
+    wlm = WordLM(key1=key1, key2=key2, logp=logp, oov_log_prob=-10.0)
+
+    t_off, l_off = ctc_beam_decode(
+        jnp.asarray(logits), jnp.asarray([T]), beam_width=8,
+        prune_threshold=0.0, separator_index=1)
+    t_on, l_on = ctc_beam_decode(
+        jnp.asarray(logits), jnp.asarray([T]), beam_width=8,
+        prune_threshold=0.0, separator_index=1,
+        word_lm_alpha=2.0, word_lm=wlm)
+    off = list(np.asarray(t_off)[0, :int(l_off[0])])
+    on = list(np.asarray(t_on)[0, :int(l_on[0])])
+    assert off == [3, 1, 3]  # acoustics alone: "b b"
+    assert on == [2, 1, 2]   # word LM: "a a"
+
+
+def test_beam_word_lm_flat_table_is_noop():
+    """An all-OOV table with oov_log_prob=0 must not change any decode
+    (every completed word scores alpha * 0) — pins the hash-carry and
+    scoring plumbing as pure additions."""
+    from myrtlespeech_tpu.decoding.lm import WordLM
+
+    rng = np.random.default_rng(21)
+    B, T, V = 3, 9, 5
+    logits = rng.standard_normal((B, T, V)).astype(np.float32)
+    lens = jnp.asarray([T, T - 2, 4])
+    flat = WordLM(key1=np.zeros((8,), np.uint32),
+                  key2=np.zeros((8,), np.uint32),
+                  logp=np.zeros((8,), np.float32), oov_log_prob=0.0)
+    t0, l0 = ctc_beam_decode(jnp.asarray(logits), lens, beam_width=8,
+                             prune_threshold=0.0, separator_index=1)
+    t1, l1 = ctc_beam_decode(jnp.asarray(logits), lens, beam_width=8,
+                             prune_threshold=0.0, separator_index=1,
+                             word_lm_alpha=3.0, word_lm=flat)
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    for i in range(B):
+        np.testing.assert_array_equal(
+            np.asarray(t0)[i, :int(l0[i])], np.asarray(t1)[i, :int(l1[i])])

@@ -116,3 +116,136 @@ def test_train_char_lm_tool(tmp_path):
     main(["--config", str(cfg_path), "--out", str(out)])
     lm = load_bigram_lm(str(out), vocab_size=3)
     assert lm.shape == (4, 3)
+
+
+# ---------------------------------------------------------------------------
+# Word-level LM (hash-table unigram, decoding/lm.py::WordLM)
+# ---------------------------------------------------------------------------
+
+
+def test_word_lm_estimation_orders_by_count():
+    from myrtlespeech_tpu.decoding.lm import estimate_word_lm, word_hashes
+
+    alphabet = Alphabet("_ ab")
+    lm = estimate_word_lm(["ab a ab", "ab b"], alphabet)
+
+    def lookup(word):
+        h1, h2 = word_hashes(alphabet.get_indices(word))
+        S = lm.key1.shape[0]
+        step = np.uint32(h2 | 1)
+        for j in range(4):
+            idx = int((h1 + np.uint32(j) * step) & np.uint32(S - 1))
+            if lm.key1[idx] == h1 and lm.key2[idx] == h2:
+                return float(lm.logp[idx])
+        return lm.oov_log_prob
+
+    # count("ab")=3 > count("a")=1 == count("b")=1 > OOV.
+    assert lookup("ab") > lookup("a")
+    assert lookup("a") == pytest.approx(lookup("b"))
+    assert lookup("b") > lm.oov_log_prob
+    assert lookup("ba") == lm.oov_log_prob  # in-alphabet but unseen
+
+
+def test_word_lm_device_lookup_matches_table():
+    import jax.numpy as jnp
+
+    from myrtlespeech_tpu.decoding.ctc_beam import _word_lm_lookup
+    from myrtlespeech_tpu.decoding.lm import estimate_word_lm, word_hashes
+
+    alphabet = Alphabet("_ ab")
+    lm = estimate_word_lm(["ab a ab b aa bb ab"], alphabet)
+    words = ["ab", "a", "b", "aa", "bb", "ba"]  # "ba" is OOV
+    hs = [word_hashes(alphabet.get_indices(w)) for w in words]
+    h1 = jnp.asarray([int(h[0]) for h in hs], jnp.uint32)
+    h2 = jnp.asarray([int(h[1]) for h in hs], jnp.uint32)
+    got = np.asarray(_word_lm_lookup(
+        jnp.asarray(lm.key1), jnp.asarray(lm.key2), jnp.asarray(lm.logp),
+        jnp.float32(lm.oov_log_prob), h1, h2))
+    # Device lookup == host probe for every word (incl. the OOV miss).
+    host = []
+    for h1_, h2_ in hs:
+        S = lm.key1.shape[0]
+        step = np.uint32(h2_ | 1)
+        val = lm.oov_log_prob
+        for j in range(4):
+            idx = int((h1_ + np.uint32(j) * step) & np.uint32(S - 1))
+            if lm.key1[idx] == h1_ and lm.key2[idx] == h2_:
+                val = float(lm.logp[idx])
+                break
+        host.append(val)
+    np.testing.assert_allclose(got, host, rtol=1e-6)
+
+
+def test_word_lm_save_load_roundtrip(tmp_path):
+    from myrtlespeech_tpu.decoding.lm import (estimate_word_lm, load_word_lm,
+                                              save_word_lm)
+
+    alphabet = Alphabet("_ ab")
+    lm = estimate_word_lm(["ab a b"], alphabet)
+    path = str(tmp_path / "word_lm.npz")
+    save_word_lm(path, lm)
+    lm2 = load_word_lm(path)
+    np.testing.assert_array_equal(lm.key1, lm2.key1)
+    np.testing.assert_array_equal(lm.key2, lm2.key2)
+    np.testing.assert_allclose(lm.logp, lm2.logp)
+    assert lm.oov_log_prob == pytest.approx(lm2.oov_log_prob)
+
+
+def test_builder_threads_word_lm(tmp_path):
+    from myrtlespeech_tpu.builders import build as B
+    from myrtlespeech_tpu.config import schema as S
+    from myrtlespeech_tpu.decoding.lm import estimate_word_lm, save_word_lm
+
+    alphabet = Alphabet("_ ab")
+    path = str(tmp_path / "wlm.npz")
+    save_word_lm(path, estimate_word_lm(["ab a"], alphabet))
+
+    def stt(post):
+        return S.SpeechToTextConfig(
+            alphabet="_ ab",
+            pre_process_steps=(S.PreProcessStepConfig(
+                S.MFCCConfig(n_mels=8, log_mel_only=True)),),
+            model=S.DeepSpeech1Config(n_hidden=8),
+            loss=S.CTCLossConfig(blank_index=0),
+            post_process=post)
+
+    cfg = stt(S.CTCBeamDecoderConfig(blank_index=0, beam_width=4,
+                                     separator_index=1, word_lm_alpha=1.0,
+                                     word_lm_path=path))
+    model = B.build_model(cfg, dtype=np.float32)
+    dec = B.build_decoder(cfg, model)
+    assert dec.keywords["word_lm"] is not None
+    assert dec.keywords["word_lm_alpha"] == 1.0
+
+    # Missing separator_index must be rejected up-front.
+    bad = stt(S.CTCBeamDecoderConfig(blank_index=0, beam_width=4,
+                                     word_lm_alpha=1.0, word_lm_path=path))
+    with pytest.raises(ValueError, match="separator_index"):
+        B.build_decoder(bad, model)
+
+
+def test_train_char_lm_tool_word_out(tmp_path):
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from tools.train_char_lm import main as lm_main
+
+    cfg_py = tmp_path / "cfg.py"
+    cfg_py.write_text(
+        "from myrtlespeech_tpu.config import schema as S\n"
+        "task_config = S.TaskConfig(\n"
+        "    speech_to_text=S.SpeechToTextConfig(\n"
+        "        alphabet='_ ab',\n"
+        "        pre_process_steps=(S.PreProcessStepConfig(\n"
+        "            S.MFCCConfig(n_mels=8, log_mel_only=True)),),\n"
+        "        model=S.DeepSpeech1Config(n_hidden=8),\n"
+        "        loss=S.CTCLossConfig(blank_index=0),\n"
+        "        post_process=S.CTCGreedyDecoderConfig(blank_index=0)),\n"
+        "    train_config=S.TrainConfig(batch_size=1, epochs=1),\n"
+        "    train_dataset=S.FakeSpeechToTextConfig(\n"
+        "        dataset_len=4, label_symbols='ab '),\n"
+        ")\n")
+    out = tmp_path / "wlm.npz"
+    lm_main(["--config", str(cfg_py), "--word-lm-out", str(out)])
+    from myrtlespeech_tpu.decoding.lm import load_word_lm
+    lm = load_word_lm(str(out))
+    assert (lm.key1 != 0).any()

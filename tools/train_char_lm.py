@@ -32,13 +32,19 @@ def main(argv=None) -> None:
     p.add_argument("--text", default=None,
                    help="optional text file (one transcript per line); "
                         "defaults to the config's train dataset transcripts")
-    p.add_argument("--out", required=True, help="output .npy path")
+    p.add_argument("--out", default=None, help="char-bigram output .npy")
+    p.add_argument("--word-lm-out", default=None,
+                   help="also/instead estimate a word-unigram LM hash "
+                        "table (.npz, CTCBeamDecoderConfig.word_lm_path)")
+    p.add_argument("--separator", default=" ",
+                   help="word separator symbol for --word-lm-out")
     p.add_argument("--smoothing", type=float, default=1.0)
     args = p.parse_args(argv)
 
     from myrtlespeech_tpu.builders.build import (build_alphabet, build_dataset,
                                                  vocab_size)
-    from myrtlespeech_tpu.decoding.lm import estimate_bigram_lm, save_bigram_lm
+    from myrtlespeech_tpu.decoding.lm import (estimate_bigram_lm,
+                                              save_bigram_lm)
 
     cfg = _load_task_config(args.config)
     stt = cfg.speech_to_text
@@ -51,12 +57,27 @@ def main(argv=None) -> None:
         ds = build_dataset(cfg.train_dataset)
         transcripts = [ds[i][1] for i in range(len(ds))]
 
-    lm = estimate_bigram_lm(
-        transcripts, alphabet, smoothing=args.smoothing,
-        blank_index=stt.loss.blank_index, vocab_size=vocab_size(stt))
-    save_bigram_lm(args.out, lm)
-    print(f"wrote {lm.shape} char-bigram LM ({len(transcripts)} transcripts) "
-          f"to {args.out}", file=sys.stderr)
+    if args.out is None and args.word_lm_out is None:
+        p.error("need --out and/or --word-lm-out")
+    if args.out is not None:
+        lm = estimate_bigram_lm(
+            transcripts, alphabet, smoothing=args.smoothing,
+            blank_index=stt.loss.blank_index, vocab_size=vocab_size(stt))
+        save_bigram_lm(args.out, lm)
+        print(f"wrote {lm.shape} char-bigram LM "
+              f"({len(transcripts)} transcripts) to {args.out}",
+              file=sys.stderr)
+    if args.word_lm_out is not None:
+        from myrtlespeech_tpu.decoding.lm import (estimate_word_lm,
+                                                  save_word_lm)
+        wlm = estimate_word_lm(transcripts, alphabet,
+                               separator=args.separator,
+                               smoothing=args.smoothing)
+        save_word_lm(args.word_lm_out, wlm)
+        n = int((wlm.key1 != 0).sum() + (wlm.key2 != 0).sum() -
+                ((wlm.key1 != 0) & (wlm.key2 != 0)).sum())
+        print(f"wrote word LM ({n} words, table {wlm.key1.shape[0]}) "
+              f"to {args.word_lm_out}", file=sys.stderr)
 
 
 if __name__ == "__main__":
