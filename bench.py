@@ -86,26 +86,37 @@ def main() -> None:
     state, loss = run_n(state, batch)
     _ = float(loss)
 
-    # Best-of-3 timed repeats: the sandbox reaches the chip over a shared
-    # network tunnel whose interference only ever ADDS time, so the minimum
-    # is the closest estimate of chip throughput (observed spread across
-    # identical runs: ~25%).
-    dt = float("inf")
-    for _rep in range(3):
+    # Timed repeats: the sandbox reaches the chip over a shared network
+    # tunnel whose interference only ever ADDS time, so the minimum is the
+    # closest estimate of chip throughput (observed spread across identical
+    # runs on different days: ~25%).  The JSON carries the spread so a
+    # round-over-round delta can be attributed (VERDICT r2 #6): deltas
+    # within ``spread`` of each other are tunnel noise, not regressions.
+    reps = int(os.environ.get("MYRTLE_BENCH_REPS", "5"))
+    times = []
+    for _rep in range(reps):
         t0 = time.perf_counter()
         state, loss = run_n(state, batch)
         final_loss = float(loss)  # host fetch fences the chain
-        dt = min(dt, time.perf_counter() - t0)
+        times.append(time.perf_counter() - t0)
         assert np.isfinite(final_loss)
     n_steps = n_steps + 1  # the trailing metrics step also runs
 
     audio_sec = n_steps * B * seconds_per_utt
-    value = audio_sec / dt
+    per_rep = [audio_sec / t for t in times]
+    value = max(per_rep)  # min time
     print(json.dumps({
         "metric": "train_audio_sec_per_sec_per_chip",
         "value": round(value, 2),
         "unit": "audio-s/s/chip",
         "vs_baseline": round(value / BASELINE_AUDIO_SEC_PER_SEC, 3),
+        # Relative spread of the per-rep throughputs around the best rep:
+        # how much tunnel interference this run saw.  A cross-round delta
+        # smaller than either run's spread is noise.
+        "spread": round((max(per_rep) - min(per_rep)) / max(per_rep), 3),
+        "n_reps": reps,
+        "batch_size": B,
+        "ms_per_step": round(1e3 * min(times) / n_steps, 2),
     }))
 
 

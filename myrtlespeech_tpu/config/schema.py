@@ -489,6 +489,17 @@ class SyntheticSpeechConfig:
     noise_level: float = 0.05
     sample_rate: int = 16000
     seed: int = 0
+    # --- difficulty levers (VERDICT r2 #3: non-saturating benchmark) ---
+    # Simulated speakers: each speaker warps the symbol formant pairs
+    # multiplicatively (and biases rate/pitch); the eval split draws ONLY
+    # from ``speaker_holdout`` held-out speakers, so eval WER measures
+    # generalisation across unseen acoustic conditions.  0 = off (legacy
+    # corpus, identical sample streams).
+    n_speakers: int = 0
+    speaker_holdout: float = 0.25  # fraction of speakers eval-only
+    formant_spread: float = 1.0    # per-speaker warp range +-15% * spread
+    # Random 3-tap FIR channel per utterance (spectral tilt/comb).
+    channel_filter: bool = False
 
 
 class LibriSpeechSubset(enum.Enum):

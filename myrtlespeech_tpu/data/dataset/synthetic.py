@@ -63,6 +63,32 @@ class SyntheticSpeech:
                               1500.0 + 2500.0 * ((k * 7) % len(syms))
                               / max(len(syms) - 1, 1))
         self._split_salt = {"train": 0, "eval": 1}[cfg.split]
+        # Speaker bank (difficulty lever, VERDICT r2 #3): per-speaker
+        # multiplicative formant warps + rate/pitch biases, with the eval
+        # split drawing ONLY from held-out speakers — eval WER then
+        # measures generalisation to unseen acoustic conditions, keeping
+        # the benchmark off its 0.0 floor.
+        self._speakers = None
+        if cfg.n_speakers > 0:
+            spk_rng = np.random.default_rng((cfg.seed, 2))
+            w = 0.15 * cfg.formant_spread
+            self._speakers = [
+                dict(w1=float(spk_rng.uniform(1 - w, 1 + w)),
+                     w2=float(spk_rng.uniform(1 - w, 1 + w)),
+                     rate=float(spk_rng.uniform(0.9, 1.1)),
+                     pitch=float(spk_rng.uniform(0.9, 1.1)))
+                for _ in range(cfg.n_speakers)]
+            n_eval = max(int(round(cfg.n_speakers * cfg.speaker_holdout)),
+                         1)
+            if cfg.split == "eval":
+                self._speaker_pool = list(range(cfg.n_speakers - n_eval,
+                                                cfg.n_speakers))
+            else:
+                self._speaker_pool = list(range(cfg.n_speakers - n_eval))
+            if not self._speaker_pool:
+                raise ValueError(
+                    f"n_speakers={cfg.n_speakers} with holdout "
+                    f"{cfg.speaker_holdout} leaves no {cfg.split} speakers")
 
     def __len__(self) -> int:
         return self.cfg.dataset_len
@@ -73,10 +99,19 @@ class SyntheticSpeech:
             self.words[int(rng.integers(len(self.words)))]
             for _ in range(n))
 
+    def _speaker(self, rng: np.random.Generator):
+        """Draw the utterance speaker (first draw of the stream) or the
+        identity speaker in legacy (n_speakers == 0) mode."""
+        if self._speakers is None:
+            return dict(w1=1.0, w2=1.0, rate=1.0, pitch=1.0)
+        pick = int(rng.integers(len(self._speaker_pool)))
+        return self._speakers[self._speaker_pool[pick]]
+
     def _render(self, rng: np.random.Generator, text: str) -> np.ndarray:
         sr = self.sample_rate
-        rate = float(rng.uniform(0.85, 1.15))    # speaking rate
-        pitch = float(rng.uniform(0.9, 1.1))     # per-utterance pitch
+        spk = self._speaker(rng)
+        rate = spk["rate"] * float(rng.uniform(0.85, 1.15))  # speaking rate
+        pitch = spk["pitch"] * float(rng.uniform(0.9, 1.1))  # utt pitch
         gain = float(rng.uniform(0.5, 1.0))
         bursts = []
         for ch in text:
@@ -87,6 +122,7 @@ class SyntheticSpeech:
                 bursts.append(np.zeros(n, np.float32))
                 continue
             f1, f2 = self._freqs[ch]
+            f1, f2 = f1 * spk["w1"], f2 * spk["w2"]
             phase1 = float(rng.uniform(0, 2 * np.pi))
             phase2 = float(rng.uniform(0, 2 * np.pi))
             env = 0.5 - 0.5 * np.cos(
@@ -95,6 +131,13 @@ class SyntheticSpeech:
                        + 0.6 * np.sin(2 * np.pi * f2 * pitch * t + phase2))
             bursts.append(w.astype(np.float32))
         wav = np.concatenate(bursts) if bursts else np.zeros(8, np.float32)
+        if self.cfg.channel_filter:
+            # Random 3-tap FIR: per-utterance spectral tilt/comb the model
+            # must normalise away.
+            c1 = float(rng.uniform(-0.8, 0.8))
+            c2 = float(rng.uniform(-0.5, 0.5))
+            wav = np.convolve(wav, np.asarray([1.0, c1, c2], np.float32)
+                              )[:len(wav)]
         wav = gain * wav + self.cfg.noise_level * rng.standard_normal(
             len(wav)).astype(np.float32)
         return wav.astype(np.float32)
@@ -110,8 +153,9 @@ class SyntheticSpeech:
         rng = np.random.default_rng(
             (self.cfg.seed, self._split_salt, index))
         text = self._transcript(rng)
-        # Mirror the per-char duration draws without synthesis.
-        rate = float(rng.uniform(0.85, 1.15))
+        # Mirror _render's draw stream without synthesis.
+        spk = self._speaker(rng)
+        rate = spk["rate"] * float(rng.uniform(0.85, 1.15))
         rng.uniform(0.9, 1.1)   # pitch (unused for duration)
         rng.uniform(0.5, 1.0)   # gain
         total = 0
