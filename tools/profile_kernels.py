@@ -25,44 +25,104 @@ import time
 import numpy as np
 
 
+V5E_BF16_TFLOPS = 197.0
+V5E_HBM_GBPS = 819.0
+
+
 def _aggregate_trace(logdir: str):
-    """Parse the TensorBoard/perfetto trace.json.gz into (name -> us)."""
+    """Parse the trace.json.gz into per-op (us, flops, bytes) rows.
+
+    Only events on the device process's "XLA Ops" lane count — host lanes,
+    the "Steps"/"XLA Modules" wrapper spans, and async markers all nest or
+    duplicate the op timings and must be excluded (round-3 fix: the first
+    cut summed every lane and reported 96% "other").
+    """
     paths = glob.glob(os.path.join(
         logdir, "plugins", "profile", "*", "*.trace.json.gz"))
     if not paths:
         return None
-    events = []
+    rows = []
     for p in paths:
         with gzip.open(p, "rt") as f:
-            events.extend(json.load(f).get("traceEvents", []))
-    # Keep complete events from device lanes (TensorCore/XLA ops).
-    durs = collections.Counter()
-    for e in events:
-        if e.get("ph") != "X" or "dur" not in e:
-            continue
-        name = e.get("name", "")
-        durs[name] += e["dur"]
-    return durs
+            events = json.load(f).get("traceEvents", [])
+        device_pids = set()
+        op_lanes = set()  # (pid, tid) of "XLA Ops" threads
+        for e in events:
+            if e.get("ph") != "M":
+                continue
+            if e.get("name") == "process_name" and \
+                    "TPU" in e["args"].get("name", ""):
+                device_pids.add(e["pid"])
+            if e.get("name") == "thread_name" and \
+                    e["args"].get("name") == "XLA Ops":
+                op_lanes.add((e["pid"], e["tid"]))
+        lanes = {pt for pt in op_lanes if pt[0] in device_pids}
+        for e in events:
+            if e.get("ph") != "X" or "dur" not in e:
+                continue
+            if (e.get("pid"), e.get("tid")) not in lanes:
+                continue
+            a = e.get("args", {})
+            rows.append((e["name"], a.get("hlo_category", "?"), e["dur"],
+                         int(a.get("model_flops", 0) or 0),
+                         int(a.get("raw_bytes_accessed", 0) or 0)))
+    return rows or None
 
 
-def _bucket(name: str) -> str:
-    """Map an XLA/Mosaic op name to a framework kernel bucket."""
+def _bucket(name: str, cat: str) -> str:
+    """Map an XLA op to a framework kernel bucket.
+
+    Pallas kernels surface as custom-calls named after their jax scope
+    (``enc_rnn1.N`` = fused LSTM fwd/bwd, ``jvp``/``transpose_jvp`` =
+    the lattice custom_vjp fwd/bwd, ``jt_`` = the fused joint tail);
+    everything else is grouped by XLA's own hlo_category.
+    """
     n = name.lower()
-    if "lstm" in n:
-        return "lstm kernels"
-    if "joint" in n or "jt_" in n:
-        return "joint tail kernel"
-    if "lattice" in n or "rnnt" in n or "ctc" in n:
-        return "lattice kernels"
-    if "fusion" in n or "custom-call" in n:
-        return "xla fusions/custom-calls"
-    if "copy" in n or "transpose" in n or "reshape" in n:
-        return "layout/copies"
-    if "dot" in n or "conv" in n:
-        return "matmuls"
-    if "all-reduce" in n or "psum" in n:
-        return "collectives"
-    return "other"
+    if n.startswith(("enc_rnn", "pred_rnn")) or "lstm" in n:
+        return "LSTM pallas kernels (recurrent fwd+bwd)"
+    if "jt_" in n or "joint_tail" in n:
+        return "fused joint-tail pallas kernel"
+    if ("jvp" in n or "lattice" in n or "pallas" in n
+            or "blank_emit" in n):
+        return "lattice/front pallas kernels"
+    if n.startswith("while"):
+        return "lax while/scan bodies (pred-net, misc)"
+    if cat == "convolution fusion" or cat == "convolution":
+        return "MXU matmul fusions (x-proj, joint, dW)"
+    if cat == "loop fusion":
+        return "elementwise loop fusions (HBM-bound)"
+    if cat == "custom-call":
+        return "custom-calls (other)"
+    return cat
+
+
+def _print_table(rows, n_steps: int):
+    agg = collections.defaultdict(lambda: [0, 0, 0])
+    for name, cat, us, fl, by in rows:
+        b = _bucket(name, cat)
+        agg[b][0] += us
+        agg[b][1] += fl
+        agg[b][2] += by
+    total = sum(v[0] for v in agg.values())
+    n = n_steps
+    print(f"\n== device per-kernel table "
+          f"({total/1e3/n:.2f} ms/step over {n} steps; "
+          f"TFLOP/s + GB/s are trace-reported, pallas custom-calls "
+          f"report 0 FLOPs) ==")
+    print(f"{'bucket':44s} {'ms/step':>8s} {'%':>6s} "
+          f"{'TFLOP/s':>8s} {'%MXU':>5s} {'GB/s':>6s} {'%HBM':>5s}")
+    for b, (us, fl, by) in sorted(agg.items(), key=lambda kv: -kv[1][0]):
+        tf = fl / (us * 1e-6) / 1e12 if us else 0.0
+        gb = by / (us * 1e-6) / 1e9 if us else 0.0
+        print(f"{b:44s} {us/1e3/n:8.2f} {100*us/total:6.1f} "
+              f"{tf:8.1f} {100*tf/V5E_BF16_TFLOPS:5.0f} "
+              f"{min(gb, 9999):6.0f} {100*gb/V5E_HBM_GBPS:5.0f}")
+    durs = collections.Counter()
+    for name, cat, us, fl, by in rows:
+        durs[name] += us
+    print("\n== top 20 ops ==")
+    for name, us in durs.most_common(20):
+        print(f"{us/1e3/n:9.3f} ms/step  {name[:100]}")
 
 
 def main():
@@ -72,9 +132,18 @@ def main():
     p.add_argument("--steps", type=int, default=3)
     p.add_argument("--components", action="store_true")
     p.add_argument("--logdir", default="/tmp/myrtle_profile")
+    p.add_argument("--parse-only", action="store_true",
+                   help="re-aggregate an existing trace (no device needed)")
     args = p.parse_args()
 
     sys.path.insert(0, ".")
+    if args.parse_only:
+        rows = _aggregate_trace(args.logdir)
+        if not rows:
+            print("no trace found in", args.logdir)
+            return
+        _print_table(rows, args.steps)
+        return
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/myrtle_jax_cache")
@@ -111,20 +180,9 @@ def main():
             for _ in range(args.steps):
                 s, m = step(s, batch)
             _ = float(m["loss"])
-        durs = _aggregate_trace(args.logdir)
-        if durs:
-            total = sum(durs.values())
-            buckets = collections.Counter()
-            for name, us in durs.items():
-                buckets[_bucket(name)] += us
-            print(f"\n== trace buckets (total {total/1e3:.1f} ms over "
-                  f"{args.steps} steps) ==")
-            for b, us in buckets.most_common():
-                print(f"{us/1e3/args.steps:9.2f} ms/step  "
-                      f"{100*us/total:5.1f}%  {b}")
-            print("\n== top 25 ops ==")
-            for name, us in durs.most_common(25):
-                print(f"{us/1e3/args.steps:9.3f} ms/step  {name[:100]}")
+        rows = _aggregate_trace(args.logdir)
+        if rows:
+            _print_table(rows, args.steps)
             return
         print("no device trace produced; falling back to components")
 

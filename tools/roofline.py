@@ -69,7 +69,11 @@ def main():
     f["prediction net"] = lstm_flops(U1, B, pred.embedding_dim, Hp,
                                      pred.rnn.num_layers)
     cells = B * T1 * U1
-    f["joint hidden"] = 2 * cells * (He + Hp) * Hj
+    # Round 3: the joint's first layer is factored (models/rnn_t.py::
+    # RNNTJoint) — act(f) @ W_f + act(g) @ W_g costs 2*B*(T1*He + U1*Hp)*Hj
+    # instead of 2*cells*(He+Hp)*Hj (a T*U/(T+U) ~ 52x reduction); the
+    # remaining per-cell work is the bandwidth-bound broadcast add.
+    f["joint hidden (factored)"] = 2 * B * (T1 * He + U1 * Hp) * Hj
     f["joint logits"] = 2 * cells * Hj * V
     fwd = sum(f.values())
     total = 3 * fwd  # backward ~= 2x forward for matmul-dominated nets
@@ -81,7 +85,11 @@ def main():
 
     # Sequential-recurrence lower bound: the recurrent matmuls cannot batch
     # across time.  Steps = sum of per-layer T; each step's (B,H)x(H,4H)
-    # matmul has B/128 MXU row occupancy.
+    # matmul has B/128 MXU row occupancy.  NOTE (round 3, measured): the
+    # naive B/128 model UNDERESTIMATES Mosaic by ~2x — the fused LSTM
+    # kernels sustain ~95 TFLOP/s at B=32 (tools/profile_kernels.py trace)
+    # vs the 49 TFLOP/s this model predicts, so treat the recurrent bound
+    # as conservative by that factor.
     steps = T0 * enc.rnn1.num_layers \
         + T1 * (enc.rnn2.num_layers if enc.rnn2 else 0) + U1 * pred.rnn.num_layers
     rec_flops = 0
