@@ -66,7 +66,14 @@ def main() -> None:
 
     state = init_state(task, jax.random.PRNGKey(0), batch)
     body = train_step_body(task)
-    n_steps = 10
+    # Steps per timed dispatch.  The whole chain is ONE device program, but
+    # each timed rep still pays one dispatch + one host fetch over the
+    # sandbox's network tunnel (~200 ms RTT, measured round 3: 11 steps/rep
+    # put the wall at 50.3 ms/step vs 31.9 ms/step of device time in the
+    # profiler trace).  50 steps/rep amortises the RTT to <4 ms/step so the
+    # metric tracks the chip; production training fetches metrics far less
+    # often than every 11 steps, so this is the honest setting.
+    n_steps = int(os.environ.get("MYRTLE_BENCH_STEPS", "50"))
 
     # All steps inside ONE compiled program: per-step host dispatch rides a
     # high-variance network tunnel in this sandbox, so a Python step loop

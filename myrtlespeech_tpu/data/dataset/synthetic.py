@@ -99,6 +99,17 @@ class SyntheticSpeech:
             self.words[int(rng.integers(len(self.words)))]
             for _ in range(n))
 
+    def transcript(self, index: int) -> str:
+        """Transcript of item ``index`` without rendering its audio.
+
+        The transcript is the FIRST draw of the item's rng stream (see
+        ``__getitem__``), so this is exact and cheap — used for LM
+        estimation over the whole corpus (tools/accuracy_ab.py).
+        """
+        rng = np.random.default_rng(
+            (self.cfg.seed, self._split_salt, index))
+        return self._transcript(rng)
+
     def _speaker(self, rng: np.random.Generator):
         """Draw the utterance speaker (first draw of the stream) or the
         identity speaker in legacy (n_speakers == 0) mode."""

@@ -54,10 +54,11 @@ def word_hashes(indices: Iterable[int]) -> tuple[np.uint32, np.uint32]:
     ``h = h * MUL + (index + 1)`` starting from the seeds.
     """
     h1, h2 = WORD_SEED1, WORD_SEED2
-    for c in indices:
-        cu = np.uint32(int(c) + 1)
-        h1 = np.uint32(h1 * WORD_MUL1 + cu)
-        h2 = np.uint32(h2 * WORD_MUL2 + cu)
+    with np.errstate(over="ignore"):  # uint32 wraparound is the hash
+        for c in indices:
+            cu = np.uint32(int(c) + 1)
+            h1 = np.uint32(h1 * WORD_MUL1 + cu)
+            h2 = np.uint32(h2 * WORD_MUL2 + cu)
     return h1, h2
 
 
@@ -121,7 +122,9 @@ def _build_table(entries, oov_log_prob: float) -> WordLM:
                 h1 = np.uint32(1)  # never collide with the empty marker
             step = np.uint32(h2 | 1)
             for j in range(WORD_LM_PROBES):
-                idx = int((h1 + np.uint32(j) * step) & np.uint32(S - 1))
+                with np.errstate(over="ignore"):  # uint32 probe wraps
+                    idx = int((h1 + np.uint32(j) * step)
+                              & np.uint32(S - 1))
                 if key1[idx] == h1 and key2[idx] == h2:
                     break  # duplicate hash pair: keep first
                 if key1[idx] == 0 and key2[idx] == 0:

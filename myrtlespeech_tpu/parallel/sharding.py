@@ -44,12 +44,27 @@ _COL_SHARDED = re.compile(
     r"(w_ih|w_hh|kernel|embedding)$")
 # 1-D params that pair with column-sharded matrices (gate biases).
 _BIAS_SHARDED = re.compile(r"(_b)$")
+# RNN-only weight names: a TP layout choice (see TP_RNN_WEIGHTS).
+_RNN_PARAM = re.compile(r"(w_ih|w_hh|_b)$")
+
+# TP layout choice for the recurrent stacks (VERDICT r2 next #4): when
+# enabled (default), RNN gate matrices column-shard over ``model`` like
+# every other big matmul; when disabled (MYRTLE_TP_RNN_WEIGHTS=0), RNN
+# weights replicate and only the joint/FC/embedding matrices shard — the
+# "replicated-RNN + TP-joint" layout.  tools/bench_tp_lstm.py A/Bs the
+# two on the virtual mesh; docs/performance.md records the decision.
+import os as _os
+
+TP_RNN_WEIGHTS = {
+    "enabled": _os.environ.get("MYRTLE_TP_RNN_WEIGHTS", "1") != "0"}
 
 
 def _pspec_for(path: str, x) -> P:
     if x.ndim == 0:
         return P()
     last = path.rsplit("/", 1)[-1]
+    if not TP_RNN_WEIGHTS["enabled"] and _RNN_PARAM.search(last):
+        return P()
     if x.ndim >= 2 and _COL_SHARDED.search(last):
         # Shard the output (last) dim if it's comfortably divisible.
         return P(*([None] * (x.ndim - 1) + [MODEL_AXIS]))

@@ -195,6 +195,30 @@ class CSVLogger(Callback):
         # Flush so long runs are monitorable (tail -f) while in flight.
         self._file.flush()
 
+    def on_epoch_end(self, ts):
+        """Append the epoch's report block (incl. wer/cer) to a sibling
+        ``*_epochs.csv`` — the per-batch stream above fixes its columns on
+        the first (train) row, so epoch-level decoder metrics need their
+        own file.  This is what WER-vs-epoch curves are plotted from."""
+        reports = ts.get("reports")
+        if not reports:
+            return
+        base, ext = os.path.splitext(self.path)
+        epoch_path = f"{base}_epochs{ext or '.csv'}"
+        row = {"epoch": ts["epoch"]}
+        for k, v in reports.items():
+            try:
+                row[k] = float(v)
+            except (TypeError, ValueError):
+                continue
+        new = not os.path.exists(epoch_path)
+        with open(epoch_path, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(row.keys()),
+                               extrasaction="ignore")
+            if new:
+                w.writeheader()
+            w.writerow(row)
+
     def on_train_end(self, ts):
         if self._file:
             self._file.close()

@@ -95,6 +95,26 @@ def test_csv_logger_rows_and_flush(tmp_path):
     assert float(row["loss"]) == 1.5 and row["stage"] == "train"
 
 
+def test_csv_logger_epoch_reports_file(tmp_path):
+    """Per-epoch reports (wer/cer) land in a sibling *_epochs.csv — the
+    machine-readable source for WER-vs-epoch curves."""
+    path = str(tmp_path / "m.csv")
+    h = CallbackHandler([C.CSVLogger(path)])
+    h.on_train_begin()
+    for epoch, wer in [(0, 1.0), (1, 0.25)]:
+        h.on_epoch_begin(epoch)
+        h.on_stage_begin(Stage.TRAIN)
+        h.on_batch_begin({}); h.on_batch_end({"loss": 1.0})
+        h.state["reports"] = {"wer": wer, "cer": wer / 2,
+                              "texts": "not-a-float"}
+        h.on_epoch_end()
+    h.on_train_end()
+    rows = list(csv.DictReader(open(str(tmp_path / "m_epochs.csv"))))
+    assert [float(r["wer"]) for r in rows] == [1.0, 0.25]
+    assert [int(r["epoch"]) for r in rows] == [0, 1]
+    assert "texts" not in rows[0]
+
+
 def test_report_decoder_wer_detokenises_and_scores():
     from myrtlespeech_tpu.data.alphabet import Alphabet
 

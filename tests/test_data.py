@@ -137,6 +137,15 @@ class TestSyntheticSpeech:
         # Same generative process, different sentence draws.
         assert [ev[i][1] for i in range(8)] != [a[i][1] for i in range(8)]
 
+    def test_transcript_without_render(self):
+        """``transcript(i)`` equals the rendered item's text (it replays
+        the first draw of the item's rng stream; tools/accuracy_ab.py
+        estimates LMs from it without synthesising audio)."""
+        from myrtlespeech_tpu.data.dataset.synthetic import SyntheticSpeech
+        ds = SyntheticSpeech(self._cfg())
+        for i in range(8):
+            assert ds.transcript(i) == ds[i][1]
+
     def test_duration_matches_render(self):
         from myrtlespeech_tpu.data.dataset.synthetic import SyntheticSpeech
         ds = SyntheticSpeech(self._cfg())

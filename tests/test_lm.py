@@ -168,7 +168,8 @@ def test_word_lm_device_lookup_matches_table():
         step = np.uint32(h2_ | 1)
         val = lm.oov_log_prob
         for j in range(4):
-            idx = int((h1_ + np.uint32(j) * step) & np.uint32(S - 1))
+            with np.errstate(over="ignore"):  # uint32 probe wraps
+                idx = int((h1_ + np.uint32(j) * step) & np.uint32(S - 1))
             if lm.key1[idx] == h1_ and lm.key2[idx] == h2_:
                 val = float(lm.logp[idx])
                 break

@@ -47,6 +47,33 @@ def test_param_pspecs_rules():
     assert specs["Dense_0"]["bias"] == jax.sharding.PartitionSpec()
 
 
+def test_tp_rnn_weights_layout_toggle():
+    """MYRTLE_TP_RNN_WEIGHTS=0 replicates RNN weights, keeps joint TP.
+
+    The replicated-RNN + TP-joint layout measured in
+    tools/bench_tp_lstm.py (docs/performance.md round-3 table).
+    """
+    from myrtlespeech_tpu.parallel import sharding as sh
+
+    params = {
+        "RNN_0": {"l0_fwd_w_ih": np.zeros((16, 64)),
+                  "l0_fwd_w_hh": np.zeros((16, 64)),
+                  "l0_fwd_b": np.zeros((64,))},
+        "Dense_0": {"kernel": np.zeros((16, 32)), "bias": np.zeros((32,))},
+    }
+    try:
+        sh.TP_RNN_WEIGHTS["enabled"] = False
+        specs = param_pspecs(params, model_size=2)
+    finally:
+        sh.TP_RNN_WEIGHTS["enabled"] = True
+    assert specs["RNN_0"]["l0_fwd_w_ih"] == jax.sharding.PartitionSpec()
+    assert specs["RNN_0"]["l0_fwd_w_hh"] == jax.sharding.PartitionSpec()
+    assert specs["RNN_0"]["l0_fwd_b"] == jax.sharding.PartitionSpec()
+    # Non-RNN matmuls still column-shard.
+    assert specs["Dense_0"]["kernel"] == jax.sharding.PartitionSpec(
+        None, MODEL_AXIS)
+
+
 def test_opt_state_shardings_by_tree_structure():
     """Adam moments get per-param shardings positionally, not by shape.
 
