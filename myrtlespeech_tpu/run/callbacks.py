@@ -64,6 +64,10 @@ class CallbackHandler:
     def on_epoch_begin(self, epoch: int):
         self.state["epoch"] = epoch
         self.state["stop_epoch"] = False
+        # Fresh report dict per epoch: otherwise an epoch whose eval
+        # produced no refs (or skipped decode) would re-log the previous
+        # epoch's wer/cer as if freshly measured (ADVICE r3).
+        self.state["reports"] = {}
         self._fire("on_epoch_begin")
 
     def on_epoch_end(self): self._fire("on_epoch_end")
@@ -172,11 +176,44 @@ class CSVLogger(Callback):
         self.path = path
         self._file = None
         self._writer = None
+        self._efile = None
+        self._ewriter = None
+
+    @property
+    def epochs_path(self) -> str:
+        base, ext = os.path.splitext(self.path)
+        return f"{base}_epochs{ext or '.csv'}"
 
     def on_train_begin(self, ts):
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
         self._file = open(self.path, "w", newline="")
         self._writer = None
+        # The epochs file is rewritten together with the per-batch stream
+        # (same run == same file pair) so rows from different runs cannot
+        # mix and the header always matches every row (ADVICE r3 medium).
+        # On checkpoint resume (start_epoch > 0) rows from epochs the run
+        # will not replay are preserved, keeping the WER-vs-epoch curve
+        # whole across supervisor restarts.
+        start = int(ts.get("start_epoch", 0))
+        prior = []
+        if start > 0 and os.path.exists(self.epochs_path):
+            with open(self.epochs_path, newline="") as f:
+                for r in csv.DictReader(f):
+                    try:
+                        if int(float(r.get("epoch", ""))) < start:
+                            prior.append(r)
+                    except ValueError:
+                        continue
+        self._efile = open(self.epochs_path, "w", newline="")
+        self._ewriter = None
+        if prior:
+            self._ewriter = csv.DictWriter(
+                self._efile, fieldnames=list(prior[0].keys()),
+                extrasaction="ignore", restval="")
+            self._ewriter.writeheader()
+            for r in prior:
+                self._ewriter.writerow(r)
+            self._efile.flush()
 
     def on_batch_end(self, ts):
         row = {"step": ts["step"], "epoch": ts["epoch"],
@@ -201,27 +238,31 @@ class CSVLogger(Callback):
         the first (train) row, so epoch-level decoder metrics need their
         own file.  This is what WER-vs-epoch curves are plotted from."""
         reports = ts.get("reports")
-        if not reports:
+        if not reports or self._efile is None:
             return
-        base, ext = os.path.splitext(self.path)
-        epoch_path = f"{base}_epochs{ext or '.csv'}"
         row = {"epoch": ts["epoch"]}
         for k, v in reports.items():
             try:
                 row[k] = float(v)
             except (TypeError, ValueError):
                 continue
-        new = not os.path.exists(epoch_path)
-        with open(epoch_path, "a", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=list(row.keys()),
-                               extrasaction="ignore")
-            if new:
-                w.writeheader()
-            w.writerow(row)
+        if self._ewriter is None:
+            # Fieldnames fix on the first epoch write; later rows with
+            # extra keys drop them (extrasaction) and rows missing keys
+            # pad with '' (restval) — columns can never misalign.
+            self._ewriter = csv.DictWriter(
+                self._efile, fieldnames=list(row.keys()),
+                extrasaction="ignore", restval="")
+            self._ewriter.writeheader()
+        self._ewriter.writerow(row)
+        self._efile.flush()
 
     def on_train_end(self, ts):
         if self._file:
             self._file.close()
+        if self._efile:
+            self._efile.close()
+            self._efile = None
 
 
 class TensorBoardLogger(Callback):

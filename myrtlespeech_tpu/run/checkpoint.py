@@ -57,6 +57,20 @@ class CheckpointManager:
         state, _ = self.restore_with_cursor(target, step)
         return state
 
+    def restore_params(self, target: TrainState,
+                       step: Optional[int] = None) -> TrainState:
+        """Weights-only warm start (curriculum / transfer learning).
+
+        Restores ``params`` and ``batch_stats`` from the checkpoint into
+        ``target``, keeping the target's fresh optimizer state, step
+        counter, and rng — so a fine-tuning run starts its own LR
+        schedule from step 0.  The checkpoint must come from the same
+        model topology (the full-state template is used for structure).
+        """
+        full, _ = self.restore_with_cursor(target, step)
+        return target._replace(params=full.params,
+                               batch_stats=full.batch_stats)
+
     def restore_with_cursor(self, target: TrainState,
                             step: Optional[int] = None):
         """Returns ``(TrainState, {"epoch": int, "batch_in_epoch": int})``."""

@@ -26,6 +26,10 @@ def main(argv=None) -> int:
     p.add_argument("--log_dir", default=None, help="TensorBoard/CSV dir")
     p.add_argument("--checkpoint_dir", default=None)
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--init_from", default=None,
+                   help="warm-start weights (params + batch_stats) from "
+                        "another run's checkpoint dir; optimizer/step/LR "
+                        "schedule start fresh (curriculum / transfer)")
     p.add_argument("--max_batches", type=int, default=None,
                    help="cap batches per epoch (smoke runs)")
     p.add_argument("--no_decode", action="store_true",
@@ -79,6 +83,10 @@ def main(argv=None) -> int:
                 task, mgr)
             print(f"resumed from step {int(initial_state.step)} "
                   f"(epoch {start_epoch}, batch {skip_batches})")
+    if args.init_from and initial_state is None:
+        from myrtlespeech_tpu.run.checkpoint import CheckpointManager
+        initial_state = _warm_start(task, CheckpointManager(args.init_from))
+        print(f"warm-started weights from {args.init_from}")
     if args.max_batches:
         cbs.append(C.StopEpochAfter(args.max_batches))
 
@@ -97,13 +105,9 @@ def _dataset_len(ds_cfg) -> int:
     return len(build_dataset(ds_cfg))
 
 
-def _restore_state(task, mgr):
-    """Restore the latest TrainState + exact data cursor; returns
-    ``(state, start_epoch, skip_batches)``.
-
-    A template state (correct pytree structure/shapes) is initialised from
-    one example batch, then overwritten by the checkpoint.
-    """
+def _template_state(task):
+    """Fresh TrainState with the task's pytree structure (one example
+    batch drives shape inference) — the restore template."""
     import jax
 
     from myrtlespeech_tpu.data.batch import BucketedLoader
@@ -113,9 +117,23 @@ def _restore_state(task, mgr):
                             task.cfg.train_config.batch_size, shuffle=False)
     batch = next(iter(loader))
     arrays = {k: v for k, v in batch.items() if k != "texts"}
-    template = init_state(task, jax.random.PRNGKey(
+    return init_state(task, jax.random.PRNGKey(
         task.cfg.train_config.seed), arrays)
-    state, cursor = mgr.restore_with_cursor(template)
+
+
+def _warm_start(task, mgr):
+    """Weights-only init from another run's checkpoint (--init_from)."""
+    return mgr.restore_params(_template_state(task))
+
+
+def _restore_state(task, mgr):
+    """Restore the latest TrainState + exact data cursor; returns
+    ``(state, start_epoch, skip_batches)``.
+
+    A template state (correct pytree structure/shapes) is initialised from
+    one example batch, then overwritten by the checkpoint.
+    """
+    state, cursor = mgr.restore_with_cursor(_template_state(task))
     return state, cursor["epoch"], cursor["batch_in_epoch"]
 
 

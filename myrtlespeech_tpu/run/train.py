@@ -450,6 +450,9 @@ def fit(task: Task, epochs: Optional[int] = None, callbacks=(),
         handler.state["train_state"] = state
         return handler
 
+    # Callbacks that persist per-epoch artifacts (CSVLogger's epochs file)
+    # need the resume cursor to know which history rows to preserve.
+    handler.state["start_epoch"] = start_epoch
     handler.on_train_begin()
     for epoch in range(start_epoch, epochs):
         handler.on_epoch_begin(epoch)
