@@ -48,22 +48,27 @@ _BIAS_SHARDED = re.compile(r"(_b)$")
 _RNN_PARAM = re.compile(r"(w_ih|w_hh|_b)$")
 
 # TP layout choice for the recurrent stacks (VERDICT r2 next #4): when
-# enabled (default), RNN gate matrices column-shard over ``model`` like
-# every other big matmul; when disabled (MYRTLE_TP_RNN_WEIGHTS=0), RNN
-# weights replicate and only the joint/FC/embedding matrices shard — the
-# "replicated-RNN + TP-joint" layout.  tools/bench_tp_lstm.py A/Bs the
-# two on the virtual mesh; docs/performance.md records the decision.
+# True (default), RNN gate matrices column-shard over ``model`` like
+# every other big matmul; when False, RNN weights replicate and only the
+# joint/FC/embedding matrices shard — the "replicated-RNN + TP-joint"
+# layout.  The choice threads explicitly through
+# ``param_pspecs``/``state_shardings``/``make_sharded_*_step``
+# (``tp_rnn_weights=``); ``MYRTLE_TP_RNN_WEIGHTS=0`` is only the default
+# when the caller passes None (ADVICE r3: no hidden mutable global).
+# tools/bench_tp_lstm.py A/Bs the two layouts on the virtual mesh;
+# docs/performance.md records the measured decision.
 import os as _os
 
-TP_RNN_WEIGHTS = {
-    "enabled": _os.environ.get("MYRTLE_TP_RNN_WEIGHTS", "1") != "0"}
+
+def _tp_rnn_weights_default() -> bool:
+    return _os.environ.get("MYRTLE_TP_RNN_WEIGHTS", "1") != "0"
 
 
-def _pspec_for(path: str, x) -> P:
+def _pspec_for(path: str, x, tp_rnn_weights: bool) -> P:
     if x.ndim == 0:
         return P()
     last = path.rsplit("/", 1)[-1]
-    if not TP_RNN_WEIGHTS["enabled"] and _RNN_PARAM.search(last):
+    if not tp_rnn_weights and _RNN_PARAM.search(last):
         return P()
     if x.ndim >= 2 and _COL_SHARDED.search(last):
         # Shard the output (last) dim if it's comfortably divisible.
@@ -83,14 +88,18 @@ def _flatten_paths(tree, prefix=""):
     return out
 
 
-def param_pspecs(params, model_size: int = 1):
+def param_pspecs(params, model_size: int = 1,
+                 tp_rnn_weights: bool | None = None):
     """PartitionSpec pytree for a flax param tree.
 
     Falls back to replication for dims not divisible by ``model_size``.
+    ``tp_rnn_weights`` selects the RNN TP layout (None = env default).
     """
+    if tp_rnn_weights is None:
+        tp_rnn_weights = _tp_rnn_weights_default()
 
     def assign(path, x):
-        spec = _pspec_for(path, x)
+        spec = _pspec_for(path, x, tp_rnn_weights)
         # Divisibility check: replicate anything that doesn't tile evenly.
         for dim, axis in enumerate(spec):
             if axis == MODEL_AXIS and x.shape[dim] % model_size != 0:
@@ -109,14 +118,15 @@ def param_pspecs(params, model_size: int = 1):
     return rebuild(params)
 
 
-def state_shardings(mesh: Mesh, state) -> Any:
+def state_shardings(mesh: Mesh, state,
+                    tp_rnn_weights: bool | None = None) -> Any:
     """NamedSharding pytree for a full TrainState.
 
     Params/opt_state use the TP rules; step/rng replicate; batch_stats
     replicate (they are reduced over the batch anyway).
     """
     model_size = mesh.shape[MODEL_AXIS]
-    pspecs = param_pspecs(state.params, model_size)
+    pspecs = param_pspecs(state.params, model_size, tp_rnn_weights)
 
     def to_sharding(spec):
         return NamedSharding(mesh, spec)
@@ -173,7 +183,8 @@ def batch_shardings(mesh: Mesh, batch) -> Any:
         batch)
 
 
-def make_sharded_train_step(task, mesh: Mesh, state, example_batch):
+def make_sharded_train_step(task, mesh: Mesh, state, example_batch,
+                            tp_rnn_weights: bool | None = None):
     """jit the train step with explicit in/out shardings over ``mesh``.
 
     Returns ``(train_step, placed_state, place_batch)`` where
@@ -182,7 +193,7 @@ def make_sharded_train_step(task, mesh: Mesh, state, example_batch):
     from myrtlespeech_tpu.run.train import train_step_body
 
     PALLAS_TP_GUARD["model_size"] = mesh.shape[MODEL_AXIS]
-    st_sh = state_shardings(mesh, state)
+    st_sh = state_shardings(mesh, state, tp_rnn_weights)
     b_sh = batch_shardings(mesh, example_batch)
     body = train_step_body(task)
     train_step = jax.jit(body, donate_argnums=(0,),
@@ -198,7 +209,8 @@ def make_sharded_train_step(task, mesh: Mesh, state, example_batch):
 
 
 def make_sharded_eval_step(task, mesh: Mesh, state, example_batch,
-                           decode: bool = True, max_output_len: int = 200):
+                           decode: bool = True, max_output_len: int = 200,
+                           tp_rnn_weights: bool | None = None):
     """jit the eval step (loss + on-device decoding) over ``mesh``.
 
     Decode-time parallelism (SURVEY.md §2.11): utterances shard over
@@ -211,7 +223,7 @@ def make_sharded_eval_step(task, mesh: Mesh, state, example_batch,
     from myrtlespeech_tpu.run.train import eval_step_body
 
     PALLAS_TP_GUARD["model_size"] = mesh.shape[MODEL_AXIS]
-    st_sh = state_shardings(mesh, state)
+    st_sh = state_shardings(mesh, state, tp_rnn_weights)
     b_sh = batch_shardings(mesh, example_batch)
     eval_body = eval_step_body(task, decode, max_output_len)
 

@@ -53,19 +53,13 @@ def test_tp_rnn_weights_layout_toggle():
     The replicated-RNN + TP-joint layout measured in
     tools/bench_tp_lstm.py (docs/performance.md round-3 table).
     """
-    from myrtlespeech_tpu.parallel import sharding as sh
-
     params = {
         "RNN_0": {"l0_fwd_w_ih": np.zeros((16, 64)),
                   "l0_fwd_w_hh": np.zeros((16, 64)),
                   "l0_fwd_b": np.zeros((64,))},
         "Dense_0": {"kernel": np.zeros((16, 32)), "bias": np.zeros((32,))},
     }
-    try:
-        sh.TP_RNN_WEIGHTS["enabled"] = False
-        specs = param_pspecs(params, model_size=2)
-    finally:
-        sh.TP_RNN_WEIGHTS["enabled"] = True
+    specs = param_pspecs(params, model_size=2, tp_rnn_weights=False)
     assert specs["RNN_0"]["l0_fwd_w_ih"] == jax.sharding.PartitionSpec()
     assert specs["RNN_0"]["l0_fwd_w_hh"] == jax.sharding.PartitionSpec()
     assert specs["RNN_0"]["l0_fwd_b"] == jax.sharding.PartitionSpec()

@@ -56,14 +56,13 @@ def main():
     samples = int(16000 * args.seconds)
 
     def time_layout(name, data, model, tp_rnn):
-        sh.TP_RNN_WEIGHTS["enabled"] = tp_rnn
         task = _tiny_rnnt_task(batch_size=B)
         batch = _example_batch(B, samples=samples, label_len=32)
         batch["labels"] = np.clip(batch["labels"], 1, 27)
         mesh = make_mesh(data=data, model=model)
         state = init_state(task, jax.random.PRNGKey(0), batch)
         step, placed, place_batch = sh.make_sharded_train_step(
-            task, mesh, state, batch)
+            task, mesh, state, batch, tp_rnn_weights=tp_rnn)
         b = place_batch(batch)
         placed, m = step(placed, b)           # compile
         _ = float(m["loss"])

@@ -142,7 +142,21 @@ def main():
         if not rows:
             print("no trace found in", args.logdir)
             return
-        _print_table(rows, args.steps)
+        # Prefer the step count recorded at capture time over --steps:
+        # a trace captured with a different count would otherwise yield
+        # silently wrong per-step figures (ADVICE r3).
+        meta_path = os.path.join(args.logdir, "capture_meta.json")
+        steps = args.steps
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                steps = int(json.load(fh).get("steps", steps))
+            if steps != args.steps:
+                print(f"(using steps={steps} from capture_meta.json, "
+                      f"not --steps={args.steps})")
+        else:
+            print(f"(no capture_meta.json in {args.logdir}; assuming the "
+                  f"trace covers --steps={steps} steps)")
+        _print_table(rows, steps)
         return
     import jax
 
@@ -180,6 +194,10 @@ def main():
             for _ in range(args.steps):
                 s, m = step(s, batch)
             _ = float(m["loss"])
+        # Record how many steps the trace covers so --parse-only divides
+        # by the right count later (ADVICE r3).
+        with open(os.path.join(args.logdir, "capture_meta.json"), "w") as fh:
+            json.dump({"steps": args.steps}, fh)
         rows = _aggregate_trace(args.logdir)
         if rows:
             _print_table(rows, args.steps)
