@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from myrtlespeech_tpu.decoding.lm import (WORD_LM_PROBES, WORD_SEED1,
-                                          WORD_SEED2, WordLM)
+                                          WORD_SEED2, WordLM, bigram_keys)
 
 NEG_INF = -1e30
 _MUL1 = jnp.uint32(0x01000193)  # FNV-ish multipliers for the rolling hashes
@@ -43,6 +43,7 @@ def _word_lm_lookup(key1, key2, logp, oov, h1, h2):
     Double hashing with a static probe count (decoding/lm.py builds the
     table so every stored word is reachable within WORD_LM_PROBES).
     Vectorised over any h1/h2 shape; misses score ``oov``.
+    Returns ``(scores, found)``.
     """
     S = key1.shape[0]
     # Mirror the build-time perturbation of the (0, 0) hash pair (the
@@ -58,7 +59,24 @@ def _word_lm_lookup(key1, key2, logp, oov, h1, h2):
         hit = (key1[idx] == h1) & (key2[idx] == h2) & ~found
         res = jnp.where(hit, logp[idx], res)
         found = found | hit
-    return res
+    return res, found
+
+
+def _word_lm_score(wl, wp1, wp2, wh1, wh2):
+    """Score the completed word (hashes ``wh``) in context ``wp``.
+
+    Unigram table only: ``log p(word)``.  With a bigram table:
+    ``log p(word | prev)`` on a context hit, else stupid backoff
+    ``backoff_log + log p(word)`` (decoding/lm.py::WordLM semantics).
+    """
+    uni, _ = _word_lm_lookup(wl["key1"], wl["key2"], wl["logp"],
+                             wl["oov"], wh1, wh2)
+    if wl["bkey1"] is None:
+        return uni
+    bk1, bk2 = bigram_keys(wp1, wp2, wh1, wh2)
+    big, hit = _word_lm_lookup(wl["bkey1"], wl["bkey2"], wl["blogp"],
+                               0.0, bk1, bk2)
+    return jnp.where(hit, big, wl["backoff"] + uni)
 
 
 def _seg_logsumexp(vals, seg_start):
@@ -85,7 +103,7 @@ def _beam_step(carry, logp_t, *, W: int, V: int, U: int, blank: int,
                lm_bigram=None, expand_topk: Optional[int] = None,
                word_lm_alpha: Optional[float] = None, word_lm=None):
     """One frame of prefix beam search for a single utterance."""
-    (prefixes, lengths, words, h1, h2, wh1, wh2, p_b, p_nb,
+    (prefixes, lengths, words, h1, h2, wh1, wh2, wp1, wp2, p_b, p_nb,
      valid_t) = carry
     lp, is_valid = logp_t  # (V,), scalar bool
 
@@ -130,10 +148,11 @@ def _beam_step(carry, logp_t, *, W: int, V: int, U: int, blank: int,
         if word_lm is not None and word_lm_alpha is not None:
             # Word-level LM weighting (the reference's alpha term at word
             # granularity): score the COMPLETED word — identified by the
-            # beam's rolling word-hash pair — via the on-device hash
-            # table.  One probe set per beam, broadcast over symbols.
-            k1, k2, tlp, oov = word_lm
-            wlp = _word_lm_lookup(k1, k2, tlp, oov, wh1, wh2)  # (W,)
+            # beam's rolling word-hash pair, in the context of the beam's
+            # previously completed word (bigram tables) — via the
+            # on-device hash table.  One probe set per beam, broadcast
+            # over symbols.
+            wlp = _word_lm_score(word_lm, wp1, wp2, wh1, wh2)  # (W,)
             ext_p = ext_p + jnp.where(completes,
                                       word_lm_alpha * wlp[:, None], 0.0)
     if lm_alpha is not None and lm_bigram is not None:
@@ -164,6 +183,7 @@ def _beam_step(carry, logp_t, *, W: int, V: int, U: int, blank: int,
     # same multipliers as the prefix hashes but lm.py's nonzero seeds so
     # "empty word" is distinguishable.
     pwh1, pwh2 = wh1[parent], wh2[parent]
+    pwp1, pwp2 = wp1[parent], wp2[parent]
     if separator is not None:
         is_sep = ext_char == separator
         nwh1 = jnp.where(
@@ -172,9 +192,18 @@ def _beam_step(carry, logp_t, *, W: int, V: int, U: int, blank: int,
         nwh2 = jnp.where(
             ext_char < 0, pwh2,
             jnp.where(is_sep, WORD_SEED2, pwh2 * _MUL2 + cu))
+        # Previous-word context (bigram word LM): a separator that
+        # completes a non-empty word promotes the current word hash to
+        # the context slot; empty "words" (double separators, leading
+        # separator) leave the context unchanged.
+        cand_completes = is_sep & (last[parent] != separator) & \
+            (lengths[parent] > 0)
+        nwp1 = jnp.where(cand_completes, pwh1, pwp1)
+        nwp2 = jnp.where(cand_completes, pwh2, pwp2)
     else:
         nwh1 = jnp.where(ext_char < 0, pwh1, pwh1 * _MUL1 + cu)
         nwh2 = jnp.where(ext_char < 0, pwh2, pwh2 * _MUL2 + cu)
+        nwp1, nwp2 = pwp1, pwp2
 
     # Kill candidates from dead beams / overlong prefixes.
     alive = total[parent] > NEG_INF / 2
@@ -187,6 +216,7 @@ def _beam_step(carry, logp_t, *, W: int, V: int, U: int, blank: int,
     order = jnp.argsort(nh1)
     s1, s2 = nh1[order], nh2[order]
     sw1, sw2 = nwh1[order], nwh2[order]
+    sp1, sp2 = nwp1[order], nwp2[order]
     spb, spnb = cand_pb[order], cand_pnb[order]
     sparent, schar = parent[order], ext_char[order]
     prev_same = jnp.concatenate(
@@ -211,6 +241,7 @@ def _beam_step(carry, logp_t, *, W: int, V: int, U: int, blank: int,
     ch = schar[top_idx]
     new_h1, new_h2 = s1[top_idx], s2[top_idx]
     new_wh1, new_wh2 = sw1[top_idx], sw2[top_idx]
+    new_wp1, new_wp2 = sp1[top_idx], sp2[top_idx]
 
     new_prefixes = prefixes[src]
     new_lengths = lengths[src]
@@ -228,6 +259,7 @@ def _beam_step(carry, logp_t, *, W: int, V: int, U: int, blank: int,
     carry = (keep(new_prefixes, prefixes), keep(new_lengths, lengths),
              keep(new_words, words), keep(new_h1, h1), keep(new_h2, h2),
              keep(new_wh1, wh1), keep(new_wh2, wh2),
+             keep(new_wp1, wp1), keep(new_wp2, wp2),
              keep(new_pb, p_b), keep(new_pnb, p_nb), valid_t)
     return carry, None
 
@@ -268,9 +300,16 @@ def ctc_beam_decode(logits, logit_lens, *, blank_index: int = 0,
         if prune_threshold > 0 else jnp.asarray(NEG_INF)
     wl = None
     if word_lm is not None:
-        wl = (jnp.asarray(word_lm.key1), jnp.asarray(word_lm.key2),
-              jnp.asarray(word_lm.logp),
-              jnp.float32(word_lm.oov_log_prob))
+        wl = dict(key1=jnp.asarray(word_lm.key1),
+                  key2=jnp.asarray(word_lm.key2),
+                  logp=jnp.asarray(word_lm.logp),
+                  oov=jnp.float32(word_lm.oov_log_prob),
+                  bkey1=None, bkey2=None, blogp=None, backoff=None)
+        if word_lm.bkey1 is not None:
+            wl.update(bkey1=jnp.asarray(word_lm.bkey1),
+                      bkey2=jnp.asarray(word_lm.bkey2),
+                      blogp=jnp.asarray(word_lm.blogp),
+                      backoff=jnp.float32(word_lm.backoff_log))
 
     step = functools.partial(
         _beam_step, W=W, V=V, U=U, blank=blank_index,
@@ -290,20 +329,24 @@ def ctc_beam_decode(logits, logit_lens, *, blank_index: int = 0,
         h2 = jnp.zeros((W,), jnp.uint32)
         wh1 = jnp.full((W,), WORD_SEED1, jnp.uint32)
         wh2 = jnp.full((W,), WORD_SEED2, jnp.uint32)
+        # Previous-completed-word context starts at the seed pair — the
+        # sentence-start context the bigram tables were estimated with.
+        wp1 = jnp.full((W,), WORD_SEED1, jnp.uint32)
+        wp2 = jnp.full((W,), WORD_SEED2, jnp.uint32)
         p_b = jnp.full((W,), NEG_INF).at[0].set(0.0)
         p_nb = jnp.full((W,), NEG_INF)
         valid = jnp.arange(T) < n_valid
-        (prefixes, lengths, words, h1, h2, wh1, wh2, p_b, p_nb,
+        (prefixes, lengths, words, h1, h2, wh1, wh2, wp1, wp2, p_b, p_nb,
          _), _ = jax.lax.scan(
-            step, (prefixes, lengths, words, h1, h2, wh1, wh2, p_b, p_nb,
-                   None),
+            step, (prefixes, lengths, words, h1, h2, wh1, wh2, wp1, wp2,
+                   p_b, p_nb, None),
             (lp_bt, valid))
         score = jnp.logaddexp(p_b, p_nb)
         if wl is not None and word_lm_alpha is not None:
             # Score the final unterminated word (no trailing separator):
             # beams whose word-hash pair is not the empty seeds carry one.
             has_word = (wh1 != WORD_SEED1) | (wh2 != WORD_SEED2)
-            wlp = _word_lm_lookup(*wl, wh1, wh2)
+            wlp = _word_lm_score(wl, wp1, wp2, wh1, wh2)
             score = score + jnp.where(has_word, word_lm_alpha * wlp, 0.0)
         best = jnp.argmax(score)
         return prefixes[best], lengths[best]

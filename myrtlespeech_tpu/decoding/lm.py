@@ -64,47 +64,104 @@ def word_hashes(indices: Iterable[int]) -> tuple[np.uint32, np.uint32]:
 
 @dataclass(frozen=True)
 class WordLM:
-    """Open-addressed word-unigram table for on-device lookup.
+    """Open-addressed word LM tables for on-device lookup.
 
     ``key1/key2/logp`` have power-of-two length ``S``; empty slots hold
     ``key1 == key2 == 0``.  Probe ``j`` of hash pair ``(h1, h2)`` is
     ``(h1 + j * (h2 | 1)) & (S - 1)``; every stored word is reachable
     within :data:`WORD_LM_PROBES` probes (enforced at build time).
     ``oov_log_prob`` scores words not in the table.
+
+    Optionally **bigram** (reference ``ctc_beam_decoder.proto`` n-gram LM
+    semantics, SURVEY §2.1 [M]): ``bkey1/bkey2/blogp`` is a second table
+    keyed on :func:`bigram_keys` of (previous word, word) hash pairs
+    holding ``log p(word | prev)``; misses back off to
+    ``backoff_log + log p(word)`` (stupid backoff).  The beam search
+    carries the previous completed word's hash pair, so the lookup stays
+    a handful of gathers inside the scan.
     """
 
     key1: np.ndarray
     key2: np.ndarray
     logp: np.ndarray
     oov_log_prob: float
+    bkey1: Optional[np.ndarray] = None
+    bkey2: Optional[np.ndarray] = None
+    blogp: Optional[np.ndarray] = None
+    backoff_log: float = 0.0
+
+
+def bigram_keys(p1, p2, h1, h2):
+    """Mix (prev-word, word) hash pairs into one table key pair.
+
+    Works on numpy uint32 scalars (build time) and jnp uint32 arrays
+    (in-scan): multiply-by-odd-constant is a bijection mod 2**32 so the
+    pair (prev, cur) stays well spread; the sentence-start context is the
+    rolling-hash seed pair (no real word hashes to it).
+    """
+    return (p1 * WORD_MUL1 ^ h1, p2 * WORD_MUL2 ^ h2)
 
 
 def estimate_word_lm(transcripts: Iterable[str], alphabet: Alphabet, *,
                      separator: str = " ", smoothing: float = 1.0,
-                     oov_log_prob: Optional[float] = None) -> WordLM:
-    """Estimate a word-unigram :class:`WordLM` from transcripts.
+                     oov_log_prob: Optional[float] = None,
+                     order: int = 1,
+                     backoff: float = 0.4) -> WordLM:
+    """Estimate a word :class:`WordLM` from transcripts.
 
     Splits on ``separator``, maps words to alphabet indices (words with
     out-of-alphabet characters are skipped), and builds the device hash
     table of add-``smoothing`` unigram log-probs.  ``oov_log_prob``
     defaults to the log-prob of an unseen word under the smoothed model.
+
+    ``order=2`` additionally estimates a bigram table of
+    ``log(c(prev, w) / c(prev))`` (MLE) with stupid-backoff weight
+    ``backoff`` to the unigram table on unseen contexts; the first word
+    of each transcript conditions on the sentence-start context.
     """
+    if order not in (1, 2):
+        raise ValueError(f"order must be 1 or 2, got {order}")
     counts: Dict[tuple, float] = {}
+    bi_counts: Dict[tuple, float] = {}
+    ctx_counts: Dict[tuple, float] = {}
+    start = ()  # sentence-start context sentinel
     total = 0
     for line in transcripts:
+        prev = start
         for word in line.split(separator):
             if not word or any(ch not in alphabet for ch in word):
+                prev = start  # broken context
                 continue
             key = tuple(alphabet.get_indices(word))
             counts[key] = counts.get(key, 0.0) + 1.0
             total += 1
+            if order == 2:
+                bi_counts[(prev, key)] = bi_counts.get((prev, key), 0.) + 1.
+                ctx_counts[prev] = ctx_counts.get(prev, 0.0) + 1.0
+            prev = key
     n_types = max(len(counts), 1)
     denom = total + smoothing * (n_types + 1)  # +1: the OOV "type"
     if oov_log_prob is None:
         oov_log_prob = float(np.log(smoothing / denom))
     entries = [(word_hashes(k), np.log((c + smoothing) / denom))
                for k, c in counts.items()]
-    return _build_table(entries, oov_log_prob)
+    uni = _build_table(entries, oov_log_prob)
+    if order == 1:
+        return uni
+
+    def _ctx_hashes(k):
+        return ((WORD_SEED1, WORD_SEED2) if k == start else word_hashes(k))
+
+    with np.errstate(over="ignore"):  # uint32 wraparound is the hash
+        bi_entries = [
+            (bigram_keys(*_ctx_hashes(p), *word_hashes(w)),
+             np.log(c / ctx_counts[p]))
+            for (p, w), c in bi_counts.items()]
+    bi = _build_table(bi_entries, oov_log_prob)
+    return WordLM(key1=uni.key1, key2=uni.key2, logp=uni.logp,
+                  oov_log_prob=uni.oov_log_prob,
+                  bkey1=bi.key1, bkey2=bi.key2, blogp=bi.logp,
+                  backoff_log=float(np.log(backoff)))
 
 
 def _build_table(entries, oov_log_prob: float) -> WordLM:
@@ -140,19 +197,30 @@ def _build_table(entries, oov_log_prob: float) -> WordLM:
 
 
 def save_word_lm(path: str, lm: WordLM) -> None:
-    """Save a :class:`WordLM` (.npz)."""
+    """Save a :class:`WordLM` (.npz), including bigram tables if any."""
+    extra = {}
+    if lm.bkey1 is not None:
+        extra = dict(bkey1=lm.bkey1, bkey2=lm.bkey2, blogp=lm.blogp,
+                     backoff_log=np.float32(lm.backoff_log))
     np.savez(path, key1=lm.key1, key2=lm.key2, logp=lm.logp,
-             oov_log_prob=np.float32(lm.oov_log_prob))
+             oov_log_prob=np.float32(lm.oov_log_prob), **extra)
 
 
 def load_word_lm(path: str) -> WordLM:
     """Load a :class:`WordLM` saved by :func:`save_word_lm`."""
     z = np.load(path)
-    S = z["key1"].shape[0]
-    if S & (S - 1):
-        raise ValueError(f"{path}: table size {S} is not a power of two")
+    for k in ("key1", "bkey1"):
+        if k in z:
+            S = z[k].shape[0]
+            if S & (S - 1):
+                raise ValueError(
+                    f"{path}: table size {S} ({k}) is not a power of two")
+    extra = {}
+    if "bkey1" in z:
+        extra = dict(bkey1=z["bkey1"], bkey2=z["bkey2"], blogp=z["blogp"],
+                     backoff_log=float(z["backoff_log"]))
     return WordLM(key1=z["key1"], key2=z["key2"], logp=z["logp"],
-                  oov_log_prob=float(z["oov_log_prob"]))
+                  oov_log_prob=float(z["oov_log_prob"]), **extra)
 
 
 def estimate_bigram_lm(

@@ -94,6 +94,10 @@ def _speculative_decode(f_bt, n_valid, carry0, expand_frame, joint_step,
         V = logits.shape[-1]
         lp_blk = jax.nn.log_softmax(
             logits.astype(jnp.float32), -1).reshape(F, W, V)
+        # NB: blank consumption leaves g untouched, so lp_blk[k] is ALSO
+        # the emitting frame's round-0 joint — expand_frame reuses it
+        # instead of re-evaluating (one joint + log_softmax saved per
+        # block step).
 
         def step(c, inp):
             lp, valid = inp  # (W, V), bool
@@ -113,10 +117,12 @@ def _speculative_decode(f_bt, n_valid, carry0, expand_frame, joint_step,
 
         carry = (tokens, lens, h1, h2, score, g, state)
         f_t = jax.lax.dynamic_slice(f_pad, (t + k, 0), (1, H_enc))[0]
+        lp0 = jax.lax.dynamic_index_in_dim(
+            lp_blk, jnp.minimum(k, F - 1), 0, keepdims=False)  # (W, V)
         # NB: under vmap this cond becomes a select (both branches run);
         # the win is fewer sequential block steps, not branch skipping.
         carry = jax.lax.cond(
-            hit, lambda c: expand_frame(f_t, c), lambda c: c, carry)
+            hit, lambda c: expand_frame(f_t, c, lp0), lambda c: c, carry)
         return t + k + hit.astype(jnp.int32), carry
 
     _, carry = jax.lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32),
@@ -175,62 +181,24 @@ def rnnt_beam_decode(
         state = init_state_fn(W)
         g, state = predict_step(jnp.full((W,), -1, jnp.int32), state)
 
-        def expand_frame(f_t, carry):
-            """Full expansion body for one frame (blank/emit rounds)."""
+        def expand_frame(f_t, carry, lp0):
+            """Full expansion body for one frame (blank/emit rounds).
+
+            ``lp0`` is the frame's round-0 joint log-softmax for the
+            carried beam — precomputed by the caller (the speculative
+            block joint already evaluated it; the scan path computes it
+            once).  Round 0 is hoisted out of the while_loop: its blank
+            merge degenerates (the finished pool is empty, so "everyone
+            takes blank" needs no sort/dedup/state gather) and its joint
+            is ``lp0``, so the loop body — with its full joint eval and
+            both merges — only runs for genuinely contested rounds.
+            """
             tokens, lens, h1, h2, score, g, state = carry
             f_tw = jnp.broadcast_to(f_t[None, :], (W, H_enc))
 
-            # Finished set (hyps that took blank this frame).
-            fin = dict(tokens=tokens, lens=lens, h1=h1, h2=h2,
-                       score=jnp.full((W,), NEG_INF), g=g, state=state)
-            # Expanding set starts as the carried beam.
-            exp = dict(tokens=tokens, lens=lens, h1=h1, h2=h2, score=score,
-                       g=g, state=state)
-
-            def cond(loop):
-                # One extra round past the emission cap: the final round
-                # only applies the blank move (emissions masked below), so
-                # the reference's "forced blank after max_symbols_per_step"
-                # is folded into the loop — no separate joint eval after it.
-                #
-                # Graves-style pruning (the big throughput lever): symbol
-                # extensions only ever LOWER a score (log-probs <= 0), so
-                # once the best expanding hypothesis is below the W-th
-                # best finished score, no descendant can enter the beam —
-                # stop expanding.  This cuts rounds/frame from
-                # max_symbols_per_step+1 to ~2 on speech-like posteriors
-                # (same pruning rule as the reference's Algorithm-1 loop
-                # "while |B more probable than max A| < W").
-                r, fin, exp = loop
-                fin_min = jnp.min(fin["score"])  # W-th best of W slots
-                cutoff = jnp.maximum(fin_min, NEG_INF / 2) \
-                    if prune_expands else NEG_INF / 2
-                return (r <= max_symbols_per_step) & \
-                    jnp.any(exp["score"] > cutoff)
-
-            def body(loop):
-                r, fin, exp = loop
-                logits = joint_step(f_tw, exp["g"])  # (W, V)
-                logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            def emit_extensions(r, exp, logp):
+                """W x K symbol extensions of ``exp``, merged to top W."""
                 V = logp.shape[-1]
-
-                # --- blank: expanding hyps join the finished pool -------
-                blank_sc = exp["score"] + logp[:, blank_index]
-                cand_sc = jnp.concatenate([fin["score"], blank_sc])
-                cand_h1 = jnp.concatenate([fin["h1"], exp["h1"]])
-                cand_h2 = jnp.concatenate([fin["h2"], exp["h2"]])
-                top_sc, sel = _merge_topk(cand_sc, cand_h1, cand_h2, W)
-                gath = lambda a, b: jnp.concatenate([a, b])[sel]
-                new_fin = dict(
-                    tokens=gath(fin["tokens"], exp["tokens"]),
-                    lens=gath(fin["lens"], exp["lens"]),
-                    h1=cand_h1[sel], h2=cand_h2[sel], score=top_sc,
-                    g=gath(fin["g"], exp["g"]),
-                    state=jax.tree_util.tree_map(
-                        lambda a, b: jnp.concatenate([a, b])[sel],
-                        fin["state"], exp["state"]))
-
-                # --- emit: W x K extensions stay expanding --------------
                 if expand_topk is not None and expand_topk < V:
                     K = expand_topk
                     # Blank masked so the top-k picks non-blank symbols.
@@ -263,13 +231,65 @@ def rnnt_beam_decode(
                 # Advance prediction net for the emitted hypotheses.
                 par_state = jax.tree_util.tree_map(
                     lambda a: a[p_sel], exp["state"])
-                e_g, e_state = predict_step(jnp.maximum(c_sel, 0), par_state)
-                new_exp = dict(tokens=e_tokens, lens=e_lens,
-                               h1=eh1[e_sel], h2=eh2[e_sel], score=e_sc,
-                               g=e_g, state=e_state)
+                e_g, e_state = predict_step(jnp.maximum(c_sel, 0),
+                                            par_state)
+                return dict(tokens=e_tokens, lens=e_lens,
+                            h1=eh1[e_sel], h2=eh2[e_sel], score=e_sc,
+                            g=e_g, state=e_state)
+
+            # --- round 0 (hoisted): empty finished pool ------------------
+            exp = dict(tokens=tokens, lens=lens, h1=h1, h2=h2, score=score,
+                       g=g, state=state)
+            fin = dict(tokens=tokens, lens=lens, h1=h1, h2=h2,
+                       score=score + lp0[:, blank_index], g=g, state=state)
+            exp = emit_extensions(0, exp, lp0)
+
+            def cond(loop):
+                # One extra round past the emission cap: the final round
+                # only applies the blank move (emissions masked below), so
+                # the reference's "forced blank after max_symbols_per_step"
+                # is folded into the loop — no separate joint eval after it.
+                #
+                # Graves-style pruning (the big throughput lever): symbol
+                # extensions only ever LOWER a score (log-probs <= 0), so
+                # once the best expanding hypothesis is below the W-th
+                # best finished score, no descendant can enter the beam —
+                # stop expanding.  This cuts rounds/frame from
+                # max_symbols_per_step+1 to ~2 on speech-like posteriors
+                # (same pruning rule as the reference's Algorithm-1 loop
+                # "while |B more probable than max A| < W").
+                r, fin, exp = loop
+                fin_min = jnp.min(fin["score"])  # W-th best of W slots
+                cutoff = jnp.maximum(fin_min, NEG_INF / 2) \
+                    if prune_expands else NEG_INF / 2
+                return (r <= max_symbols_per_step) & \
+                    jnp.any(exp["score"] > cutoff)
+
+            def body(loop):
+                r, fin, exp = loop
+                logits = joint_step(f_tw, exp["g"])  # (W, V)
+                logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+
+                # --- blank: expanding hyps join the finished pool -------
+                blank_sc = exp["score"] + logp[:, blank_index]
+                cand_sc = jnp.concatenate([fin["score"], blank_sc])
+                cand_h1 = jnp.concatenate([fin["h1"], exp["h1"]])
+                cand_h2 = jnp.concatenate([fin["h2"], exp["h2"]])
+                top_sc, sel = _merge_topk(cand_sc, cand_h1, cand_h2, W)
+                gath = lambda a, b: jnp.concatenate([a, b])[sel]
+                new_fin = dict(
+                    tokens=gath(fin["tokens"], exp["tokens"]),
+                    lens=gath(fin["lens"], exp["lens"]),
+                    h1=cand_h1[sel], h2=cand_h2[sel], score=top_sc,
+                    g=gath(fin["g"], exp["g"]),
+                    state=jax.tree_util.tree_map(
+                        lambda a, b: jnp.concatenate([a, b])[sel],
+                        fin["state"], exp["state"]))
+
+                new_exp = emit_extensions(r, exp, logp)
                 return r + 1, new_fin, new_exp
 
-            _, fin, exp = jax.lax.while_loop(cond, body, (0, fin, exp))
+            _, fin, exp = jax.lax.while_loop(cond, body, (1, fin, exp))
 
             # The loop only exits once every expanding hypothesis is dead
             # (blank taken, possibly forced by the masked final round), so
@@ -279,7 +299,11 @@ def rnnt_beam_decode(
 
         def frame(carry, inputs):
             f_t, valid = inputs  # (H_enc,), bool
-            new = expand_frame(f_t, carry)
+            g0 = carry[5]
+            lp0 = jax.nn.log_softmax(
+                joint_step(jnp.broadcast_to(f_t[None, :], (W, H_enc)),
+                           g0).astype(jnp.float32), -1)
+            new = expand_frame(f_t, carry, lp0)
             # Frames past the utterance end leave the beam untouched.
             out = jax.tree_util.tree_map(
                 lambda n, o: jnp.where(

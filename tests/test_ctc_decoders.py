@@ -236,3 +236,41 @@ def test_beam_word_lm_flat_table_is_noop():
     for i in range(B):
         np.testing.assert_array_equal(
             np.asarray(t0)[i, :int(l0[i])], np.asarray(t1)[i, :int(l1[i])])
+
+
+def test_beam_word_bigram_lm_context_flips_decode():
+    """A word-BIGRAM LM flips an ambiguous word based on the PREVIOUS word.
+
+    V=4: blank=0, separator=1, 'a'=2, 'b'=3.  First word is clearly "a";
+    the final (unterminated) word is acoustically ambiguous with 'a'
+    slightly ahead.  Corpus: "a b" x2, "a a" x1 -> unigram p(a) == p(b)
+    is NOT true (a:3, b:2), so the unigram model agrees with the
+    acoustics ("a a"); the bigram model knows p(b | a) = 2/3 > p(a | a)
+    = 1/3 and flips the second word to 'b'.
+    """
+    from myrtlespeech_tpu.data.alphabet import Alphabet
+    from myrtlespeech_tpu.decoding.lm import estimate_word_lm
+
+    alphabet = Alphabet("_ ab")
+    corpus = ["a b", "a b", "a a"]
+    uni = estimate_word_lm(corpus, alphabet, order=1)
+    bi = estimate_word_lm(corpus, alphabet, order=2)
+
+    T, V = 3, 4
+    logits = np.full((1, T, V), -5.0, np.float32)
+    logits[0, 0, 2] = 5.0                          # "a"
+    logits[0, 1, 1] = 6.0                          # separator
+    logits[0, 2, 2], logits[0, 2, 3] = 4.2, 4.0    # 'a' slightly ahead
+
+    def run(wlm):
+        kw = {}
+        if wlm is not None:
+            kw = dict(word_lm_alpha=2.0, word_lm=wlm)
+        toks, lens = ctc_beam_decode(
+            jnp.asarray(logits), jnp.asarray([T]), beam_width=8,
+            prune_threshold=0.0, separator_index=1, **kw)
+        return list(np.asarray(toks)[0, :int(lens[0])])
+
+    assert run(None) == [2, 1, 2]   # acoustics: "a a"
+    assert run(uni) == [2, 1, 2]    # unigram prefers "a" too
+    assert run(bi) == [2, 1, 3]     # bigram context: "a b"

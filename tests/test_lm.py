@@ -160,7 +160,7 @@ def test_word_lm_device_lookup_matches_table():
     h2 = jnp.asarray([int(h[1]) for h in hs], jnp.uint32)
     got = np.asarray(_word_lm_lookup(
         jnp.asarray(lm.key1), jnp.asarray(lm.key2), jnp.asarray(lm.logp),
-        jnp.float32(lm.oov_log_prob), h1, h2))
+        jnp.float32(lm.oov_log_prob), h1, h2)[0])
     # Device lookup == host probe for every word (incl. the OOV miss).
     host = []
     for h1_, h2_ in hs:
@@ -250,3 +250,64 @@ def test_train_char_lm_tool_word_out(tmp_path):
     from myrtlespeech_tpu.decoding.lm import load_word_lm
     lm = load_word_lm(str(out))
     assert (lm.key1 != 0).any()
+
+
+def _probe(key1, key2, logp, h1, h2, default):
+    """Host-side open-addressed probe (mirrors the device lookup)."""
+    S = key1.shape[0]
+    if h1 == 0 and h2 == 0:
+        h1 = np.uint32(1)
+    step = np.uint32(h2 | 1)
+    for j in range(4):
+        with np.errstate(over="ignore"):
+            idx = int((h1 + np.uint32(j) * step) & np.uint32(S - 1))
+        if key1[idx] == h1 and key2[idx] == h2:
+            return float(logp[idx])
+    return default
+
+
+def test_word_bigram_lm_estimation():
+    """order=2 stores MLE log p(word | prev); misses back off."""
+    from myrtlespeech_tpu.decoding.lm import (WORD_SEED1, WORD_SEED2,
+                                              bigram_keys, estimate_word_lm,
+                                              word_hashes)
+
+    alphabet = Alphabet("_ ab")
+    # Bigrams: (START, a) x3, (a, b) x2, (a, a) x1.
+    lm = estimate_word_lm(["a b", "a b", "a a"], alphabet, order=2)
+    assert lm.bkey1 is not None
+
+    def bscore(prev, word):
+        ph = ((WORD_SEED1, WORD_SEED2) if prev is None
+              else word_hashes(alphabet.get_indices(prev)))
+        wh = word_hashes(alphabet.get_indices(word))
+        with np.errstate(over="ignore"):
+            k1, k2 = bigram_keys(ph[0], ph[1], wh[0], wh[1])
+        return _probe(lm.bkey1, lm.bkey2, lm.blogp, k1, k2, None)
+
+    assert bscore(None, "a") == pytest.approx(np.log(3 / 3))  # p(a|START)=1
+    assert bscore("a", "b") == pytest.approx(np.log(2 / 3))
+    assert bscore("a", "a") == pytest.approx(np.log(1 / 3))
+    assert bscore("b", "a") is None        # unseen context -> backoff
+    assert lm.backoff_log == pytest.approx(np.log(0.4))
+
+
+def test_word_bigram_lm_save_load_roundtrip(tmp_path):
+    from myrtlespeech_tpu.decoding.lm import (estimate_word_lm, load_word_lm,
+                                              save_word_lm)
+
+    alphabet = Alphabet("_ ab")
+    lm = estimate_word_lm(["a b a", "b a"], alphabet, order=2)
+    path = str(tmp_path / "wlm2.npz")
+    save_word_lm(path, lm)
+    back = load_word_lm(path)
+    np.testing.assert_array_equal(back.key1, lm.key1)
+    np.testing.assert_array_equal(back.bkey1, lm.bkey1)
+    np.testing.assert_array_equal(back.blogp, lm.blogp)
+    assert back.backoff_log == pytest.approx(lm.backoff_log)
+    # Unigram-only files still load with empty bigram fields.
+    lm1 = estimate_word_lm(["a b"], alphabet, order=1)
+    path1 = str(tmp_path / "wlm1.npz")
+    save_word_lm(path1, lm1)
+    back1 = load_word_lm(path1)
+    assert back1.bkey1 is None

@@ -68,9 +68,12 @@ def _lm_paths(cfg, out_dir):
         texts = [ds[i][1] for i in range(len(ds))]
     bigram = os.path.join(out_dir, "char_bigram.npy")
     word = os.path.join(out_dir, "word_lm.npz")
+    word2 = os.path.join(out_dir, "word_lm_bigram.npz")
     save_bigram_lm(bigram, estimate_bigram_lm(texts, alphabet))
     save_word_lm(word, estimate_word_lm(texts, alphabet, separator=" "))
-    return bigram, word
+    save_word_lm(word2, estimate_word_lm(texts, alphabet, separator=" ",
+                                         order=2))
+    return bigram, word, word2
 
 
 def main(argv=None):
@@ -114,7 +117,7 @@ def main(argv=None):
         base_beam = cfg.speech_to_text.post_process
         assert isinstance(base_beam, S.CTCBeamDecoderConfig), base_beam
         lm_dir = tempfile.mkdtemp(prefix="myrtle_lm_")
-        bigram, word = _lm_paths(cfg, lm_dir)
+        bigram, word, word2 = _lm_paths(cfg, lm_dir)
         no_lm = S.replace(base_beam, beam_width=W, lm_alpha=None,
                           lm_bigram_path=None, word_lm_path=None,
                           word_lm_alpha=None, word_count_beta=None)
@@ -127,6 +130,10 @@ def main(argv=None):
                        lm_bigram_path=bigram)),
             (f"beam W={W} + word-LM a={args.word_lm_alpha}",
              S.replace(no_lm, word_lm_path=word,
+                       word_lm_alpha=args.word_lm_alpha,
+                       word_count_beta=0.5)),
+            (f"beam W={W} + word-BIGRAM-LM a={args.word_lm_alpha}",
+             S.replace(no_lm, word_lm_path=word2,
                        word_lm_alpha=args.word_lm_alpha,
                        word_count_beta=0.5)),
         ]

@@ -39,6 +39,9 @@ def main(argv=None) -> None:
     p.add_argument("--separator", default=" ",
                    help="word separator symbol for --word-lm-out")
     p.add_argument("--smoothing", type=float, default=1.0)
+    p.add_argument("--word-lm-order", type=int, default=1, choices=(1, 2),
+                   help="word LM order: 2 adds a bigram table with "
+                        "stupid backoff to the unigram")
     args = p.parse_args(argv)
 
     from myrtlespeech_tpu.builders.build import (build_alphabet, build_dataset,
@@ -72,7 +75,8 @@ def main(argv=None) -> None:
                                                   save_word_lm)
         wlm = estimate_word_lm(transcripts, alphabet,
                                separator=args.separator,
-                               smoothing=args.smoothing)
+                               smoothing=args.smoothing,
+                               order=args.word_lm_order)
         save_word_lm(args.word_lm_out, wlm)
         n = int((wlm.key1 != 0).sum() + (wlm.key2 != 0).sum() -
                 ((wlm.key1 != 0) & (wlm.key2 != 0)).sum())
