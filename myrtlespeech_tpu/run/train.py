@@ -451,8 +451,12 @@ def fit(task: Task, epochs: Optional[int] = None, callbacks=(),
         return handler
 
     # Callbacks that persist per-epoch artifacts (CSVLogger's epochs file)
-    # need the resume cursor to know which history rows to preserve.
+    # need the resume cursor to know which history rows to preserve, and
+    # the step counter must continue from the restored optimizer step so
+    # logged step numbers stay monotonic across resumes.
     handler.state["start_epoch"] = start_epoch
+    if initial_state is not None:
+        handler.state["step"] = int(initial_state.step)
     handler.on_train_begin()
     for epoch in range(start_epoch, epochs):
         handler.on_epoch_begin(epoch)
