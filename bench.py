@@ -178,9 +178,10 @@ def _decode_metrics(task, state, batch, B, seconds_per_utt):
                        jnp.asarray(batch["wav_lens"]))
     f = jax.block_until_ready(f)
 
-    make, init_state_fn = build_rnnt_decode_helpers(
+    _, make_projected, init_state_fn = build_rnnt_decode_helpers(
         task.model, task.cfg.speech_to_text.model)
-    predict_step, joint_step = make(variables)
+    predict_step, joint_step, project_f = make_projected(variables)
+    f = jax.jit(project_f)(f)  # hoisted factored-joint encoder projection
 
     n_dec = int(os.environ.get("MYRTLE_BENCH_DECODES", "5"))
     reps = int(os.environ.get("MYRTLE_BENCH_REPS", "7"))

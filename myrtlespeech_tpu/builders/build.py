@@ -413,7 +413,25 @@ def build_rnnt_decode_helpers(model: RNNT, cfg: S.RNNTConfig):
 
         return predict_step, joint_step
 
-    return make, init_state_fn
+    def make_projected(variables):
+        """Decode-time factored-joint hoist: ``project_f`` maps encoder
+        output to first-layer space ONCE per utterance; ``joint_fp_step``
+        then costs one small matmul + tail per evaluation instead of
+        re-projecting f every (frame, hypothesis, round).  Drive the
+        decoders with ``fp = project_f(f)`` in place of ``f`` — they are
+        agnostic to what the 'encoder features' are."""
+        predict_step, _ = make(variables)
+
+        def project_f(f):
+            return model.apply(variables, f, method=RNNT.joint_project_f)
+
+        def joint_fp_step(fp_t, g):
+            return model.apply(variables, fp_t, g,
+                               method=RNNT.joint_from_fp)
+
+        return predict_step, joint_fp_step, project_f
+
+    return make, make_projected, init_state_fn
 
 
 def build_decoder(cfg: S.SpeechToTextConfig, model) -> Callable:
@@ -450,24 +468,32 @@ def build_decoder(cfg: S.SpeechToTextConfig, model) -> Callable:
             lm_bigram=lm_bigram,
             word_lm_alpha=pc.word_lm_alpha if word_lm is not None else None,
             word_lm=word_lm, expand_topk=pc.expand_topk)
-    make, init_state_fn = build_rnnt_decode_helpers(model, cfg.model)
+    # Both transducer decoders run in PROJECTED joint space: the encoder
+    # side of the factored joint (models/rnn_t.py::RNNTJoint) is hoisted
+    # out of the decode loops — project_f(f) runs once per batch and each
+    # in-loop joint evaluation is one small matmul + tail (measured
+    # round 4: the loops are op-latency-bound, docs/performance.md).
+    _, make_projected, init_state_fn = build_rnnt_decode_helpers(
+        model, cfg.model)
     if isinstance(pc, S.RNNTGreedyDecoderConfig):
         def greedy(variables, f, f_lens, max_output_len: int = 200):
-            predict_step, joint_step = make(variables)
+            predict_step, joint_fp_step, project_f = make_projected(
+                variables)
             B = f.shape[0]
             return rnnt_greedy_decode(
-                f, f_lens, predict_step, joint_step, init_state_fn(B),
-                blank_index=pc.blank_index,
+                project_f(f), f_lens, predict_step, joint_fp_step,
+                init_state_fn(B), blank_index=pc.blank_index,
                 max_symbols_per_step=pc.max_symbols_per_step,
                 max_output_len=max_output_len)
         return greedy
     if isinstance(pc, S.RNNTBeamDecoderConfig):
         def beam(variables, f, f_lens, max_output_len: int = 200):
-            predict_step, joint_step = make(variables)
+            predict_step, joint_fp_step, project_f = make_projected(
+                variables)
             return rnnt_beam_decode(
-                f, f_lens, predict_step, joint_step, init_state_fn,
-                blank_index=pc.blank_index, beam_width=pc.beam_width,
-                length_norm=pc.length_norm,
+                project_f(f), f_lens, predict_step, joint_fp_step,
+                init_state_fn, blank_index=pc.blank_index,
+                beam_width=pc.beam_width, length_norm=pc.length_norm,
                 max_symbols_per_step=pc.max_symbols_per_step,
                 max_output_len=max_output_len,
                 expand_topk=pc.expand_topk,

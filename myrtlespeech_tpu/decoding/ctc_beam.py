@@ -10,10 +10,11 @@ device arrays and runs the whole batch in one ``lax.scan`` over time:
 - Each beam entry is ``(prefix buffer (U,), length, p_b, p_nb)`` plus a
   rolling **pair of 32-bit hashes** identifying the prefix.
 - Per frame, the ``W`` stay-candidates and ``W*V`` extension candidates are
-  formed dense, **sorted by hash**, duplicate prefixes merged with a
-  segmented log-sum-exp (associative scan), and the top ``W`` survivors
-  selected with ``top_k`` — the device-friendly replacement for the
-  reference's dict-keyed merging.
+  formed dense, duplicates merged by a **pairwise stay-vs-extension hash
+  match** (each sub-set is internally duplicate-free, so no sort is
+  needed — see the in-step comment), and the top ``W`` survivors selected
+  with ``top_k`` — the device-friendly replacement for the reference's
+  dict-keyed merging.
 - ``prune_threshold`` drops low-probability symbols before extension,
   mirroring the reference's pruning knob.
 
@@ -77,24 +78,6 @@ def _word_lm_score(wl, wp1, wp2, wh1, wh2):
     big, hit = _word_lm_lookup(wl["bkey1"], wl["bkey2"], wl["blogp"],
                                0.0, bk1, bk2)
     return jnp.where(hit, big, wl["backoff"] + uni)
-
-
-def _seg_logsumexp(vals, seg_start):
-    """Segmented logsumexp along axis 0 for sorted segments.
-
-    ``seg_start[i]`` is True where a new segment begins.  Returns an array
-    where the LAST element of each segment holds the segment total (other
-    positions hold partial prefixes — callers mask them out).
-    """
-
-    def combine(a, b):
-        va, sa = a
-        vb, sb = b
-        v = jnp.where(sb, vb, jnp.logaddexp(va, vb))
-        return v, sa | sb
-
-    out, _ = jax.lax.associative_scan(combine, (vals, seg_start), axis=0)
-    return out
 
 
 def _beam_step(carry, logp_t, *, W: int, V: int, U: int, blank: int,
@@ -212,36 +195,39 @@ def _beam_step(carry, logp_t, *, W: int, V: int, U: int, blank: int,
     cand_pb = jnp.where(dead, NEG_INF, cand_pb)
     cand_pnb = jnp.where(dead, NEG_INF, cand_pnb)
 
-    # ---- merge duplicates (sort by hash + segmented logsumexp) ----------
-    order = jnp.argsort(nh1)
-    s1, s2 = nh1[order], nh2[order]
-    sw1, sw2 = nwh1[order], nwh2[order]
-    sp1, sp2 = nwp1[order], nwp2[order]
-    spb, spnb = cand_pb[order], cand_pnb[order]
-    sparent, schar = parent[order], ext_char[order]
-    prev_same = jnp.concatenate(
-        [jnp.array([False]),
-         (s1[1:] == s1[:-1]) & (s2[1:] == s2[:-1])])
-    seg_start = ~prev_same
-    mpb = _seg_logsumexp(spb, seg_start)
-    mpnb = _seg_logsumexp(spnb, seg_start)
-    is_seg_last = jnp.concatenate([~prev_same[1:], jnp.array([True])])
-    # Kill non-final positions entirely: they hold partial segment sums, and
-    # if top_k ever picks one (spare beam slots) it must act as a dead beam,
-    # not a phantom duplicate of the prefix carrying real mass.
-    mpb = jnp.where(is_seg_last, mpb, NEG_INF)
-    mpnb = jnp.where(is_seg_last, mpnb, NEG_INF)
+    # ---- merge duplicates (pairwise stay <-> extension match) -----------
+    # Both sub-sets are internally duplicate-free: the W stays inherit
+    # the (merged) beam's distinctness, and two extensions of distinct
+    # equal-length parents are distinct (p1 + c1 == p2 + c2 forces
+    # p1 == p2, c1 == c2).  The ONLY possible duplicates are cross-pairs
+    # stay(p) == ext(q, c) with p = q + c — found with one (W, W*K) hash
+    # equality matrix; each stay matches at most one live extension.
+    # This replaces the former argsort(W + W*K) + two segmented
+    # logsumexp scans per frame (measured: the sort dominated the
+    # device time of the whole scan body).
+    sh1, sh2 = nh1[:W], nh2[:W]
+    eh1, eh2 = nh1[W:], nh2[W:]
+    e_pnb = cand_pnb[W:]  # extension p_b is NEG_INF by construction
+    match = (sh1[:, None] == eh1[None, :]) & \
+        (sh2[:, None] == eh2[None, :])  # (W, W*K)
+    ext_into_stay = jax.nn.logsumexp(
+        jnp.where(match, e_pnb[None, :], NEG_INF), axis=1)
+    mpb = jnp.concatenate(
+        [cand_pb[:W], jnp.full((W * K,), NEG_INF)])
+    mpnb = jnp.concatenate(
+        [jnp.logaddexp(cand_pnb[:W], ext_into_stay),
+         jnp.where(match.any(axis=0), NEG_INF, e_pnb)])
     score = jnp.logaddexp(mpb, mpnb)
 
     # ---- select top W ----------------------------------------------------
     top_score, top_idx = jax.lax.top_k(score, W)
     new_pb = mpb[top_idx]
     new_pnb = mpnb[top_idx]
-    src = sparent[top_idx]
-    ch = schar[top_idx]
-    new_h1, new_h2 = s1[top_idx], s2[top_idx]
-    new_wh1, new_wh2 = sw1[top_idx], sw2[top_idx]
-    new_wp1, new_wp2 = sp1[top_idx], sp2[top_idx]
+    src = parent[top_idx]
+    ch = ext_char[top_idx]
+    new_h1, new_h2 = nh1[top_idx], nh2[top_idx]
+    new_wh1, new_wh2 = nwh1[top_idx], nwh2[top_idx]
+    new_wp1, new_wp2 = nwp1[top_idx], nwp2[top_idx]
 
     new_prefixes = prefixes[src]
     new_lengths = lengths[src]

@@ -60,6 +60,26 @@ def _merge_topk(scores, h1, h2, W):
     return top_sc, order[top_pos]
 
 
+def _merge_two_sets_topk(a_sc, a_h1, a_h2, b_sc, b_h1, b_h2, W):
+    """Merge set ``b`` into set ``a`` where hashes match, then top W.
+
+    Exploits that BOTH sets are internally duplicate-free (the beam
+    invariant: each is a merged top-W), so the only possible duplicates
+    are cross-pairs — found with one (W, W) equality matrix instead of an
+    argsort + segmented scan over the concatenation (the merge was the
+    expansion loop's measured hot spot, round 4).  Returns
+    ``(scores (W,), selector (W,))`` indexing into ``concat(a, b)``.
+    """
+    match = (a_h1[:, None] == b_h1[None, :]) & \
+        (a_h2[:, None] == b_h2[None, :])  # (Wa, Wb)
+    add = jnp.where(match, b_sc[None, :], NEG_INF)
+    a_merged = jnp.logaddexp(a_sc, jax.nn.logsumexp(add, axis=1))
+    b_dead = match.any(axis=0)
+    b_left = jnp.where(b_dead, NEG_INF, b_sc)
+    cand = jnp.concatenate([a_merged, b_left])
+    return jax.lax.top_k(cand, W)
+
+
 def _speculative_decode(f_bt, n_valid, carry0, expand_frame, joint_step,
                         blank_index, F):
     """Block-speculative frame loop for one utterance.
@@ -219,7 +239,16 @@ def rnnt_beam_decode(
                 cu = (echar + 1).astype(jnp.uint32)
                 eh1 = exp["h1"][parent] * _MUL1 + cu
                 eh2 = exp["h2"][parent] * _MUL2 + cu
-                e_sc, e_sel = _merge_topk(ext_sc, eh1, eh2, W)
+                # No dedup needed here (unlike the finished-pool merge):
+                # the expanding set holds pairwise-DISTINCT label
+                # sequences (the previous round merged), and two distinct
+                # sequences extended by one symbol are still distinct —
+                # equal length forces equal parent and equal symbol.  So
+                # the hash-sort merge is vacuous and a plain top_k
+                # suffices; this removes an argsort(W*K) + segmented
+                # logsumexp from every expansion round (measured round 4:
+                # the rounds are merge-bound, not joint-bound).
+                e_sc, e_sel = jax.lax.top_k(ext_sc, W)
                 p_sel = parent[e_sel]
                 c_sel = echar[e_sel]
                 e_tokens = exp["tokens"][p_sel]
@@ -271,11 +300,14 @@ def rnnt_beam_decode(
                 logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
 
                 # --- blank: expanding hyps join the finished pool -------
+                # fin and exp are each internally distinct, so the merge
+                # reduces to cross-matching (W, W) hash pairs — no sort.
                 blank_sc = exp["score"] + logp[:, blank_index]
-                cand_sc = jnp.concatenate([fin["score"], blank_sc])
+                top_sc, sel = _merge_two_sets_topk(
+                    fin["score"], fin["h1"], fin["h2"],
+                    blank_sc, exp["h1"], exp["h2"], W)
                 cand_h1 = jnp.concatenate([fin["h1"], exp["h1"]])
                 cand_h2 = jnp.concatenate([fin["h2"], exp["h2"]])
-                top_sc, sel = _merge_topk(cand_sc, cand_h1, cand_h2, W)
                 gath = lambda a, b: jnp.concatenate([a, b])[sel]
                 new_fin = dict(
                     tokens=gath(fin["tokens"], exp["tokens"]),

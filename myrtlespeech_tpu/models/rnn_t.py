@@ -86,12 +86,27 @@ class RNNTJoint(nn.Module):
     def project(self, f, g):
         """First-layer projections ``(fp, gp)`` with the pre-FC activation
         applied and the first-layer bias folded into ``gp``."""
+        return self.project_f(f), self.project_g(g)
+
+    def project_f(self, f):
+        """Encoder-side first-layer projection only (decode-time hoist:
+        computed ONCE per utterance instead of per joint evaluation)."""
         f = apply_activation(self.cfg.activation, f).astype(self.dtype)
+        return f @ self.kernel.astype(self.dtype)[:self.h_enc]
+
+    def project_g(self, g):
         g = apply_activation(self.cfg.activation, g).astype(self.dtype)
-        kernel = self.kernel.astype(self.dtype)
-        fp = f @ kernel[:self.h_enc]
-        gp = g @ kernel[self.h_enc:] + self.bias.astype(self.dtype)
-        return fp, gp
+        return g @ self.kernel.astype(self.dtype)[self.h_enc:] \
+            + self.bias.astype(self.dtype)
+
+    def from_fp(self, fp, g, train: bool = False):
+        """Joint on a PRE-PROJECTED encoder row: ``tail(fp + project_g(g))``.
+
+        The on-device decoders evaluate the joint per (frame, hypothesis,
+        round); with ``fp`` hoisted out of the loop each evaluation costs
+        one small matmul + the tail instead of re-projecting f every time.
+        """
+        return self.tail(fp + self.project_g(g), train)
 
     def tail(self, h, train: bool = False):
         """Everything after the factored first layer: activation + dropout
@@ -190,6 +205,14 @@ class RNNT(nn.Module):
         """Factored joint first-layer projections (for the fused Pallas
         joint+loss path): ``(fp (B,T,K), gp (B,U+1,K))``."""
         return self.joint_net.project(f, g)
+
+    def joint_project_f(self, f):
+        """Encoder-side joint projection ``fp`` (decode-time hoist)."""
+        return self.joint_net.project_f(f)
+
+    def joint_from_fp(self, fp, g, train: bool = False):
+        """Joint logits from a pre-projected encoder row (decode loops)."""
+        return self.joint_net.from_fp(fp, g, train)
 
     def joint_tail(self, h, train: bool = False):
         """Joint layers after the factored first layer (fused-path use)."""

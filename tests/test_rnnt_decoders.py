@@ -236,3 +236,37 @@ def test_beam_speculative_blocks_are_output_invariant(seed):
                                       np.asarray(spec[1]), err_msg=f"F={F}")
         np.testing.assert_array_equal(np.asarray(base[0]),
                                       np.asarray(spec[0]), err_msg=f"F={F}")
+
+
+def test_projected_joint_decode_equivalence():
+    """Decoding in projected joint space (factored-joint hoist,
+    builders.build_rnnt_decode_helpers::make_projected) must produce the
+    same output as driving the decoders with raw encoder features and the
+    full joint."""
+    from myrtlespeech_tpu.builders.build import build_rnnt_decode_helpers
+    from myrtlespeech_tpu.decoding.rnnt_greedy import rnnt_greedy_decode
+
+    m, vars_, cfg, x, lens = _tiny_model(V=4, seed=3)
+    f, f_lens = m.apply(vars_, x, lens, method=RNNT.encode)
+    make, make_projected, init_state_fn = build_rnnt_decode_helpers(m, cfg)
+    predict_step, joint_step = make(vars_)
+    pstep2, joint_fp_step, project_f = make_projected(vars_)
+    fp = project_f(f)
+
+    kw = dict(blank_index=0, beam_width=8, max_symbols_per_step=3,
+              max_output_len=6)
+    t0, l0 = rnnt_beam_decode(f, f_lens, predict_step, joint_step,
+                              init_state_fn, **kw)
+    t1, l1 = rnnt_beam_decode(fp, f_lens, pstep2, joint_fp_step,
+                              init_state_fn, **kw)
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+
+    g0 = rnnt_greedy_decode(f, f_lens, predict_step, joint_step,
+                            init_state_fn(1), blank_index=0,
+                            max_symbols_per_step=3, max_output_len=6)
+    g1 = rnnt_greedy_decode(fp, f_lens, pstep2, joint_fp_step,
+                            init_state_fn(1), blank_index=0,
+                            max_symbols_per_step=3, max_output_len=6)
+    np.testing.assert_array_equal(np.asarray(g0[0]), np.asarray(g1[0]))
+    np.testing.assert_array_equal(np.asarray(g0[1]), np.asarray(g1[1]))

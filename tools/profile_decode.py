@@ -72,9 +72,11 @@ def main():
     f = jax.block_until_ready(f)
     audio_s = B * args.seconds
 
-    make, init_state_fn = build_rnnt_decode_helpers(task.model,
-                                                    cfg.speech_to_text.model)
-    predict_step, joint_step = make(variables)
+    _, make_projected, init_state_fn = build_rnnt_decode_helpers(
+        task.model, cfg.speech_to_text.model)
+    predict_step, joint_step, project_f = make_projected(variables)
+    # Decoders run in projected joint space (factored-joint hoist).
+    f = jax.block_until_ready(jax.jit(project_f)(f))
     if args.blank_bias:
         _base_joint = joint_step
         bias = jnp.zeros((29,)).at[0].set(args.blank_bias)
