@@ -189,11 +189,19 @@ def _decode_metrics(task, state, batch, B, seconds_per_utt):
     def timed(decode_fn):
         @jax.jit
         def run_n(f, f_lens):
-            def one(_, acc):
-                _, lens = decode_fn(f, f_lens)
-                return acc + jnp.sum(lens)
-            return jax.lax.fori_loop(0, n_dec, one,
-                                     jnp.asarray(0, jnp.int32))
+            def one(_, carry):
+                acc, f_cur = carry
+                _, lens = decode_fn(f_cur, f_lens)
+                s = jnp.sum(lens)
+                # Thread a (numerically negligible) data dependency from
+                # each decode into the next one's input: without it XLA
+                # hoists the loop-invariant decode out of the fori_loop
+                # and "runs" it once (observed: n_dec x inflated rates).
+                f_next = f + (s % 2).astype(f.dtype) * 1e-6
+                return acc + s, f_next
+            acc, _ = jax.lax.fori_loop(
+                0, n_dec, one, (jnp.asarray(0, jnp.int32), f))
+            return acc
         _ = int(run_n(f, f_lens))  # compile + warm
         best = float("inf")
         for _ in range(reps):
