@@ -41,6 +41,13 @@ def _aggregate_trace(logdir: str):
         logdir, "plugins", "profile", "*", "*.trace.json.gz"))
     if not paths:
         return None
+    # Each jax.profiler.trace() creates a new timestamped run directory;
+    # summing over ALL of them silently multiplies per-step figures by
+    # the number of stale captures (observed: exactly 2x with one old
+    # trace present).  Aggregate the NEWEST capture only.
+    newest = max(paths, key=lambda p: os.path.dirname(p))
+    paths = [p for p in paths
+             if os.path.dirname(p) == os.path.dirname(newest)]
     rows = []
     for p in paths:
         with gzip.open(p, "rt") as f:
