@@ -154,7 +154,17 @@ def _drive(cfg):
                             cfg.train_config.batch_size, shuffle=False)
     batch = next(k for k in loader)
     arrays = {k: v for k, v in batch.items() if k != "texts"}
-    state = init_state(task, jax.random.PRNGKey(0), arrays)
+    try:
+        state = init_state(task, jax.random.PRNGKey(0), arrays)
+    except ValueError as e:
+        # The static-shape diagnostic can also fire at trace time: the
+        # bucketed batch's ACTUAL frame count may collapse under a conv
+        # stack even when the builder's nominal check passed (e.g. a
+        # 100 ms utterance -> T=4 frames vs kernel_time=5, padding NONE).
+        # That rejection is the intended behaviour, not a failure.
+        assert "collapses" in str(e)
+        assume(False)
+        return
     # make_train_step donates state; keep a host copy for the before/after
     # param-movement check.
     params_before = jax.tree_util.tree_map(np.asarray, state.params)
