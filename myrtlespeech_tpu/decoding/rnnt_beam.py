@@ -119,21 +119,28 @@ def _speculative_decode(f_bt, n_valid, carry0, expand_frame, joint_step,
         # instead of re-evaluating (one joint + log_softmax saved per
         # block step).
 
-        def step(c, inp):
-            lp, valid = inp  # (W, V), bool
-            sc, done, k = c
-            fin_sc = sc + lp[:, blank_index]
-            nb = lp.at[:, blank_index].set(NEG_INF)
-            pure = jnp.max(sc[:, None] + nb) <= jnp.min(fin_sc)
-            consume = (~done) & ((valid & pure) | (~valid))
-            sc = jnp.where(consume & valid, fin_sc, sc)
-            done = done | (valid & (~pure))
-            return (sc, done, k + consume.astype(jnp.int32)), None
-
+        # Consume the leading run of pure-blank frames WITHOUT a
+        # sequential scan (round-4: the F-step lax.scan added ~F tiny
+        # sequential sub-steps per block, measurable at this op-latency-
+        # bound scale).  The score after consuming frames < i is just
+        # ``score + cumsum(valid blank log-probs)``, so every frame's
+        # pure-blank test evaluates in parallel; the first failing valid
+        # frame is the emitting frame k.
         frame_valid = (t + jnp.arange(F)) < n_valid
-        (score, hit, k), _ = jax.lax.scan(
-            step, (score, jnp.asarray(False), jnp.asarray(0, jnp.int32)),
-            (lp_blk, frame_valid))
+        blank_lp = lp_blk[:, :, blank_index]                   # (F, W)
+        nbmax = jnp.max(
+            lp_blk.at[:, :, blank_index].set(NEG_INF), axis=-1)  # (F, W)
+        step_add = jnp.where(frame_valid[:, None], blank_lp, 0.0)
+        csum_excl = jnp.concatenate(
+            [jnp.zeros((1, W), score.dtype),
+             jnp.cumsum(step_add, axis=0)])                    # (F+1, W)
+        sc_i = score[None, :] + csum_excl[:F]                  # (F, W)
+        fin_sc = sc_i + blank_lp
+        pure = jnp.max(sc_i + nbmax, axis=1) <= jnp.min(fin_sc, axis=1)
+        stop = frame_valid & (~pure)
+        hit = jnp.any(stop)
+        k = jnp.where(hit, jnp.argmax(stop), F).astype(jnp.int32)
+        score = score + csum_excl[k]
 
         carry = (tokens, lens, h1, h2, score, g, state)
         f_t = jax.lax.dynamic_slice(f_pad, (t + k, 0), (1, H_enc))[0]
