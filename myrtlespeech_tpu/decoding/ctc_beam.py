@@ -196,20 +196,32 @@ def _beam_step(carry, logp_t, *, W: int, V: int, U: int, blank: int,
     cand_pnb = jnp.where(dead, NEG_INF, cand_pnb)
 
     # ---- merge duplicates (pairwise stay <-> extension match) -----------
-    # Both sub-sets are internally duplicate-free: the W stays inherit
-    # the (merged) beam's distinctness, and two extensions of distinct
-    # equal-length parents are distinct (p1 + c1 == p2 + c2 forces
-    # p1 == p2, c1 == c2).  The ONLY possible duplicates are cross-pairs
-    # stay(p) == ext(q, c) with p = q + c — found with one (W, W*K) hash
-    # equality matrix; each stay matches at most one live extension.
-    # This replaces the former argsort(W + W*K) + two segmented
-    # logsumexp scans per frame (measured: the sort dominated the
-    # device time of the whole scan body).
+    # Among LIVE candidates both sub-sets are internally duplicate-free:
+    # the live stays inherit the (merged) beam's distinctness, and two
+    # extensions of distinct equal-length parents are distinct
+    # (p1 + c1 == p2 + c2 forces p1 == p2, c1 == c2).  The ONLY possible
+    # live duplicates are cross-pairs stay(p) == ext(q, c) with p = q + c
+    # — found with one (W, W*K) hash equality matrix; each live stay
+    # matches at most one live extension.  This replaces the former
+    # argsort(W + W*K) + two segmented logsumexp scans per frame
+    # (measured: the sort dominated the device time of the scan body).
+    #
+    # DEAD slots need explicit masking (ADVICE r4): a dead stay (killed
+    # beam filler) or a previously-killed duplicate still carries a stale
+    # hash; without the liveness guard a live extension matching a dead
+    # stay would be logaddexp'd into BOTH rows, resurrecting a phantom
+    # duplicate beam and double-counting its mass.  Dead extensions are
+    # already NEG_INF (absorbing into a live stay adds nothing), but a
+    # dead extension must not KILL a live stay's merge either — the
+    # score side handles that (NEG_INF contributes nothing); only the
+    # stay side's liveness changes which matches are honoured.
     sh1, sh2 = nh1[:W], nh2[:W]
     eh1, eh2 = nh1[W:], nh2[W:]
     e_pnb = cand_pnb[W:]  # extension p_b is NEG_INF by construction
+    alive_stay = jnp.logaddexp(cand_pb[:W], cand_pnb[:W]) > NEG_INF / 2
     match = (sh1[:, None] == eh1[None, :]) & \
-        (sh2[:, None] == eh2[None, :])  # (W, W*K)
+        (sh2[:, None] == eh2[None, :]) & \
+        alive_stay[:, None]  # (W, W*K)
     ext_into_stay = jax.nn.logsumexp(
         jnp.where(match, e_pnb[None, :], NEG_INF), axis=1)
     mpb = jnp.concatenate(

@@ -63,15 +63,26 @@ def _merge_topk(scores, h1, h2, W):
 def _merge_two_sets_topk(a_sc, a_h1, a_h2, b_sc, b_h1, b_h2, W):
     """Merge set ``b`` into set ``a`` where hashes match, then top W.
 
-    Exploits that BOTH sets are internally duplicate-free (the beam
-    invariant: each is a merged top-W), so the only possible duplicates
-    are cross-pairs — found with one (W, W) equality matrix instead of an
-    argsort + segmented scan over the concatenation (the merge was the
-    expansion loop's measured hot spot, round 4).  Returns
+    Exploits that the LIVE rows of both sets are internally
+    duplicate-free (the beam invariant: each is a merged top-W), so the
+    only possible live duplicates are cross-pairs — found with one
+    (W, W) equality matrix instead of an argsort + segmented scan over
+    the concatenation (the merge was the expansion loop's measured hot
+    spot, round 4).
+
+    DEAD rows need an explicit guard (ADVICE r4): a dead ``a`` row
+    (top-W filler from an earlier round) keeps its stale hash; without
+    the liveness mask a live ``b`` hypothesis matching it would be
+    absorbed into the dead row (logaddexp(NEG_INF, b) == b) while the
+    original ``b`` row is killed — silently duplicating/teleporting a
+    hypothesis.  Dead ``b`` rows are harmless either way (NEG_INF
+    contributes nothing to a live ``a``'s merge and a dead ``b`` stays
+    dead), so masking the absorbing side suffices.  Returns
     ``(scores (W,), selector (W,))`` indexing into ``concat(a, b)``.
     """
     match = (a_h1[:, None] == b_h1[None, :]) & \
-        (a_h2[:, None] == b_h2[None, :])  # (Wa, Wb)
+        (a_h2[:, None] == b_h2[None, :]) & \
+        (a_sc > NEG_INF / 2)[:, None]  # (Wa, Wb)
     add = jnp.where(match, b_sc[None, :], NEG_INF)
     a_merged = jnp.logaddexp(a_sc, jax.nn.logsumexp(add, axis=1))
     b_dead = match.any(axis=0)

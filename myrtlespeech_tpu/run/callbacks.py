@@ -206,14 +206,12 @@ class CSVLogger(Callback):
                         continue
         self._efile = open(self.epochs_path, "w", newline="")
         self._ewriter = None
-        if prior:
-            self._ewriter = csv.DictWriter(
-                self._efile, fieldnames=list(prior[0].keys()),
-                extrasaction="ignore", restval="")
-            self._ewriter.writeheader()
-            for r in prior:
-                self._ewriter.writerow(r)
-            self._efile.flush()
+        # Preserved rows are NOT written yet: the header is finalised on
+        # the first post-resume epoch row so metric columns added since
+        # the original run are unioned in instead of silently dropped
+        # (ADVICE r4 low).  on_train_end flushes them if no new epoch
+        # report ever arrives.
+        self._eprior = prior
 
     def on_batch_end(self, ts):
         row = {"step": ts["step"], "epoch": ts["epoch"],
@@ -247,13 +245,21 @@ class CSVLogger(Callback):
             except (TypeError, ValueError):
                 continue
         if self._ewriter is None:
-            # Fieldnames fix on the first epoch write; later rows with
-            # extra keys drop them (extrasaction) and rows missing keys
-            # pad with '' (restval) — columns can never misalign.
+            # Fieldnames fix on the first epoch write — the union of any
+            # resume-preserved header with this row's keys, so columns
+            # added since the original run survive a resume.  Later rows
+            # with extra keys drop them (extrasaction) and rows missing
+            # keys pad with '' (restval) — columns can never misalign.
+            prior = getattr(self, "_eprior", None) or []
+            fields = list(prior[0].keys()) if prior else []
+            fields += [k for k in row if k not in fields]
             self._ewriter = csv.DictWriter(
-                self._efile, fieldnames=list(row.keys()),
+                self._efile, fieldnames=fields,
                 extrasaction="ignore", restval="")
             self._ewriter.writeheader()
+            for r in prior:
+                self._ewriter.writerow(r)
+            self._eprior = []
         self._ewriter.writerow(row)
         self._efile.flush()
 
@@ -261,6 +267,16 @@ class CSVLogger(Callback):
         if self._file:
             self._file.close()
         if self._efile:
+            prior = getattr(self, "_eprior", None) or []
+            if self._ewriter is None and prior:
+                # Resume run ended without a new epoch report: flush the
+                # preserved rows so the curve file is never truncated.
+                self._ewriter = csv.DictWriter(
+                    self._efile, fieldnames=list(prior[0].keys()),
+                    extrasaction="ignore", restval="")
+                self._ewriter.writeheader()
+                for r in prior:
+                    self._ewriter.writerow(r)
             self._efile.close()
             self._efile = None
 

@@ -134,7 +134,10 @@ def test_word_lm_estimation_orders_by_count():
         S = lm.key1.shape[0]
         step = np.uint32(h2 | 1)
         for j in range(4):
-            idx = int((h1 + np.uint32(j) * step) & np.uint32(S - 1))
+            # uint32 wraparound is intentional (mirrors lm.py's guarded
+            # recurrence); silence numpy's scalar-overflow warning.
+            with np.errstate(over="ignore"):
+                idx = int((h1 + np.uint32(j) * step) & np.uint32(S - 1))
             if lm.key1[idx] == h1 and lm.key2[idx] == h2:
                 return float(lm.logp[idx])
         return lm.oov_log_prob

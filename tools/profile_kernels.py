@@ -32,48 +32,12 @@ V5E_HBM_GBPS = 819.0
 def _aggregate_trace(logdir: str):
     """Parse the trace.json.gz into per-op (us, flops, bytes) rows.
 
-    Only events on the device process's "XLA Ops" lane count — host lanes,
-    the "Steps"/"XLA Modules" wrapper spans, and async markers all nest or
-    duplicate the op timings and must be excluded (round-3 fix: the first
-    cut summed every lane and reported 96% "other").
+    Shared implementation lives in ``myrtlespeech_tpu.utils.trace`` so
+    ``bench.py``'s ``ms_per_step_device`` field and this table agree by
+    construction (same lanes, same newest-capture rule).
     """
-    paths = glob.glob(os.path.join(
-        logdir, "plugins", "profile", "*", "*.trace.json.gz"))
-    if not paths:
-        return None
-    # Each jax.profiler.trace() creates a new timestamped run directory;
-    # summing over ALL of them silently multiplies per-step figures by
-    # the number of stale captures (observed: exactly 2x with one old
-    # trace present).  Aggregate the NEWEST capture only.
-    newest = max(paths, key=lambda p: os.path.dirname(p))
-    paths = [p for p in paths
-             if os.path.dirname(p) == os.path.dirname(newest)]
-    rows = []
-    for p in paths:
-        with gzip.open(p, "rt") as f:
-            events = json.load(f).get("traceEvents", [])
-        device_pids = set()
-        op_lanes = set()  # (pid, tid) of "XLA Ops" threads
-        for e in events:
-            if e.get("ph") != "M":
-                continue
-            if e.get("name") == "process_name" and \
-                    "TPU" in e["args"].get("name", ""):
-                device_pids.add(e["pid"])
-            if e.get("name") == "thread_name" and \
-                    e["args"].get("name") == "XLA Ops":
-                op_lanes.add((e["pid"], e["tid"]))
-        lanes = {pt for pt in op_lanes if pt[0] in device_pids}
-        for e in events:
-            if e.get("ph") != "X" or "dur" not in e:
-                continue
-            if (e.get("pid"), e.get("tid")) not in lanes:
-                continue
-            a = e.get("args", {})
-            rows.append((e["name"], a.get("hlo_category", "?"), e["dur"],
-                         int(a.get("model_flops", 0) or 0),
-                         int(a.get("raw_bytes_accessed", 0) or 0)))
-    return rows or None
+    from myrtlespeech_tpu.utils.trace import aggregate_trace
+    return aggregate_trace(logdir)
 
 
 def _bucket(name: str, cat: str) -> str:
