@@ -244,10 +244,20 @@ class RNNTEncoderConfig:
 
 @dataclass(frozen=True)
 class RNNTPredictNetConfig:
-    """RNN-T prediction network: embedding + LSTM over label history."""
+    """RNN-T prediction network: embedding + LSTM over label history.
+
+    ``embedding_dropout``: train-time probability of zeroing each label's
+    WHOLE embedding vector (per-token, not per-feature).  The standard
+    mitigation for prediction-net domination — the degenerate transducer
+    mode where the joint ignores acoustics and the model emits a fixed
+    string (measured on the hard corpus, docs/performance.md round 4):
+    randomly hiding label history forces the joint to consult the
+    encoder.  Decoding is unaffected (eval is deterministic).
+    """
 
     embedding_dim: int = 320
     rnn: RNNConfig = RNNConfig(hidden_size=320, num_layers=2)
+    embedding_dropout: float = 0.0
 
 
 @dataclass(frozen=True)

@@ -80,14 +80,31 @@ class BucketedLoader:
                  label_bucket: int = 32, shuffle: bool = True, seed: int = 0,
                  drop_remainder: bool = False,
                  shard_id: int = 0, num_shards: int = 1,
-                 num_workers: int = 0):
+                 num_workers: int = 0, pack: bool = False):
         """``shard_id``/``num_shards``: per-host sharding for multi-host
-        input pipelines (SURVEY.md §2.10 N6) — host k reads indices
-        ``i % num_shards == k``; deterministic datasets need no
-        coordination.  Pass ``jax.process_index()/process_count()``."""
+        input pipelines (SURVEY.md §2.10 N6).
+
+        Every host builds the IDENTICAL global batch plan (bucket edges
+        from the whole dataset, one shared shuffle RNG) over global
+        batches of ``batch_size * num_shards``, then emits only its
+        contiguous ``batch_size``-row slice of each one.  This is what
+        makes multi-process global arrays possible at all: the padded
+        (audio bucket, label pad) shape of step k is a pure function of
+        the shared plan, so all hosts' slices assemble into one
+        consistent global batch (``jax.make_array_from_process_local_
+        data``), and an N-process run sees bit-identical global batches
+        to a 1-process run of the same config.  (The earlier design —
+        each host bucketing its own ``i % num_shards`` subset — let
+        bucket edges and per-step shapes drift between hosts, which
+        deadlocks GSPMD the first time two hosts pad differently.)
+        Deterministic datasets need no coordination.  Pass
+        ``jax.process_index()/process_count()``."""
         self.ds = dataset
         self.alphabet = alphabet
         self.batch_size = batch_size
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self.global_batch = batch_size * num_shards
         self.label_bucket = label_bucket
         self.shuffle = shuffle
         self.seed = seed
@@ -97,12 +114,21 @@ class BucketedLoader:
         # processes (SURVEY.md §2.10 N6).  Threads suffice: decoding is
         # numpy/IO-bound and releases the GIL; 0 = synchronous.
         self.num_workers = num_workers
+        # ``pack``: sorted-duration packing instead of per-bucket
+        # grouping.  Eval corpora fragment badly under grouping (the
+        # committed medium recipe's 256 eval utterances spread over 15
+        # batches, 1.9x padding rows — round-5 eval breakdown); packing
+        # sorts by duration and fills every batch, padding each chunk to
+        # its longest member's bucket.  Same bucket ladder (no new
+        # compiles), permutation-invariant metrics, so it is the eval
+        # default in ``fit``; train keeps grouped+shuffled batches.
+        self.pack = pack
         self._pool = None
         self._native_ok = None  # tri-state: unknown / usable / unavailable
-        self._indices = [i for i in range(len(dataset))
-                         if i % num_shards == shard_id]
+        self._indices = list(range(len(dataset)))
 
         durations = {i: self._duration(i) for i in self._indices}
+        self._durations = durations
         if audio_buckets is None:
             vals = list(durations.values())
             mx = max(vals) if vals else 16000
@@ -138,51 +164,106 @@ class BucketedLoader:
         return len(self.ds[i][0])
 
     def __len__(self) -> int:
+        if self.pack:
+            n = len(self._indices)
+            return n // self.global_batch if self.drop_remainder \
+                else math.ceil(n / self.global_batch)
         n = 0
         for idxs in self._by_bucket.values():
             if self.drop_remainder:
-                n += len(idxs) // self.batch_size
+                n += len(idxs) // self.global_batch
             else:
-                n += math.ceil(len(idxs) / self.batch_size)
+                n += math.ceil(len(idxs) / self.global_batch)
         return n
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         rng = np.random.default_rng((self.seed, self._epoch))
         self._epoch += 1
         skip, self._skip = self._skip, 0  # cursor applies to one epoch only
-        plan = []  # (bucket, [indices])
-        for b, idxs in sorted(self._by_bucket.items()):
-            idxs = list(idxs)
-            if self.shuffle:
-                rng.shuffle(idxs)
-            for k in range(0, len(idxs), self.batch_size):
-                chunk = idxs[k:k + self.batch_size]
-                if len(chunk) < self.batch_size:
+        GB = self.global_batch
+        plan = []  # (bucket, [global chunk indices], n_real_global)
+        if self.pack:
+            order = sorted(self._indices, key=lambda i: self._durations[i])
+            for k in range(0, len(order), GB):
+                chunk = order[k:k + GB]
+                n_real = len(chunk)
+                if n_real < GB:
                     if self.drop_remainder:
                         continue
-                    chunk = chunk + [chunk[-1]] * (self.batch_size - len(chunk))
-                plan.append((b, chunk, min(len(idxs) - k, self.batch_size)))
+                    chunk = chunk + [chunk[-1]] * (GB - n_real)
+                b = bucket_for(max(self._durations[i] for i in chunk),
+                               self.audio_buckets)
+                plan.append((b, chunk, n_real))
+        else:
+            for b, idxs in sorted(self._by_bucket.items()):
+                idxs = list(idxs)
+                if self.shuffle:
+                    rng.shuffle(idxs)
+                for k in range(0, len(idxs), GB):
+                    chunk = idxs[k:k + GB]
+                    if len(chunk) < GB:
+                        if self.drop_remainder:
+                            continue
+                        chunk = chunk + [chunk[-1]] * (GB - len(chunk))
+                    plan.append((b, chunk, min(len(idxs) - k, GB)))
         if self.shuffle:
             rng.shuffle(plan)
         if self.num_workers > 0 and self._pool is None:
             from concurrent.futures import ThreadPoolExecutor
             self._pool = ThreadPoolExecutor(self.num_workers)
+        lo = self.shard_id * self.batch_size
         for bucket, chunk, n_real in plan[skip:]:
-            batch = self._native_batch(bucket, chunk)
+            # Label pad must be a pure function of the GLOBAL chunk so
+            # all hosts' slices share one global shape; when sharded,
+            # compute it from transcript metadata (or, failing that, by
+            # materialising the whole chunk) before slicing.
+            label_pad = None
+            if self.num_shards > 1:
+                label_pad = self._global_label_pad(chunk)
+            local = chunk[lo:lo + self.batch_size]
+            n_real_local = max(0, min(n_real - lo, self.batch_size))
+            batch = self._native_batch(bucket, local, label_pad)
             if batch is None:
                 if self._pool is not None:
                     samples = list(self._pool.map(self.ds.__getitem__,
-                                                  chunk))
+                                                  local))
                 else:
-                    samples = [self.ds[i] for i in chunk]
-                label_max = max(1, max(len(t) for _, t in samples))
-                label_pad = math.ceil(label_max / self.label_bucket) \
-                    * self.label_bucket
+                    samples = [self.ds[i] for i in local]
+                if label_pad is None:
+                    label_max = max(1, max(len(t) for _, t in samples))
+                    label_pad = math.ceil(label_max / self.label_bucket) \
+                        * self.label_bucket
                 batch = collate(samples, self.alphabet, bucket, label_pad)
+            # ``n_real`` is the GLOBAL real count: inside jit the loss
+            # mask is ``arange(global_B) < n_real`` and padding
+            # duplicates sit at the global tail by construction.
+            # ``texts`` is trimmed to the LOCAL real rows so host-side
+            # consumers (WER accumulation) never score padding.
+            batch["texts"] = batch["texts"][:n_real_local]
             batch["n_real"] = np.asarray(n_real, np.int32)
+            if self.num_shards > 1:
+                # Local real count for process-local eval steps (the
+                # multi-host eval path masks with this instead).
+                batch["n_real_local"] = np.asarray(n_real_local, np.int32)
             yield batch
 
-    def _native_batch(self, bucket: int, chunk) -> Optional[Dict]:
+    def _global_label_pad(self, chunk) -> int:
+        """Label pad of a GLOBAL chunk from transcript metadata.
+
+        Uses ``ds.transcript(i)`` when the dataset exposes it (all
+        in-tree datasets do) so no remote host's audio is materialised;
+        falls back to fetching the samples."""
+        if hasattr(self.ds, "transcript"):
+            lens = [len(self.alphabet.get_indices(self.ds.transcript(i)))
+                    for i in chunk]
+        else:
+            lens = [len(self.alphabet.get_indices(self.ds[i][1]))
+                    for i in chunk]
+        label_max = max(1, max(lens))
+        return math.ceil(label_max / self.label_bucket) * self.label_bucket
+
+    def _native_batch(self, bucket: int, chunk,
+                      label_pad: Optional[int] = None) -> Optional[Dict]:
         """Assemble one batch via the C++ batch decoder when possible.
 
         Requires the dataset to expose ``audio_path``/``transcript`` and
@@ -206,9 +287,10 @@ class BucketedLoader:
                 self._native_ok = False
             return None
         texts = [self.ds.transcript(i) for i in chunk]
-        label_max = max(1, max(len(t) for t in texts))
-        label_pad = math.ceil(label_max / self.label_bucket) \
-            * self.label_bucket
+        if label_pad is None:
+            label_max = max(1, max(len(t) for t in texts))
+            label_pad = math.ceil(label_max / self.label_bucket) \
+                * self.label_bucket
         labels = np.zeros((len(chunk), label_pad), np.int32)
         label_lens = np.zeros((len(chunk),), np.int32)
         for i, t in enumerate(texts):

@@ -43,3 +43,9 @@ class FakeSpeechToText:
         label_len = rng.integers(c.label_len.lower, c.label_len.upper + 1)
         syms = rng.choice(list(c.label_symbols), size=label_len)
         return wav, "".join(syms)
+
+    def transcript(self, index: int) -> str:
+        """Transcript metadata (multi-host loaders size label pads from
+        the global chunk without shipping audio).  The audio draw must
+        still advance the RNG so the stream matches ``__getitem__``."""
+        return self[index][1]

@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from myrtlespeech_tpu.config import schema as S
@@ -171,6 +172,15 @@ class RNNT(nn.Module):
         """
         B, U = labels.shape
         emb = self.embedding(labels.astype(jnp.int32))  # (B, U, E)
+        p = self.cfg.prediction.embedding_dropout
+        if train and p > 0:
+            # Per-TOKEN dropout (whole embedding vectors, scaled 1/(1-p)):
+            # hides random label-history positions so the joint cannot
+            # lean on the prediction net alone (anti-domination
+            # regularizer; RNNTPredictNetConfig.embedding_dropout).
+            keep = jax.random.bernoulli(
+                self.make_rng("dropout"), 1.0 - p, (B, U, 1))
+            emb = jnp.where(keep, emb / (1.0 - p), 0.0).astype(emb.dtype)
         emb = jnp.concatenate(
             [jnp.zeros((B, 1, emb.shape[-1]), emb.dtype), emb], axis=1)
         g, _, _ = self.pred_rnn(emb, label_lens + 1, train)

@@ -183,6 +183,29 @@ def batch_shardings(mesh: Mesh, batch) -> Any:
         batch)
 
 
+def place_global(tree, shardings):
+    """Put host values onto (possibly multi-process) shardings.
+
+    Single process: plain ``jax.device_put``.  Multi-process: each
+    process holds only its slice of batch-dim-sharded data (and a full
+    replica of everything replicated), so global ``jax.Array``s are
+    assembled with ``jax.make_array_from_process_local_data`` — the
+    local value IS the process's shard; for replicated leaves local ==
+    global and every process must pass the same value (true here: the
+    loader's global plan aligns batch slices, and state init is
+    seed-deterministic).  This is the host-local → global boundary of
+    the multi-host data path (SURVEY.md §5 distributed row).
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(tree, shardings)
+    import numpy as np
+
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.make_array_from_process_local_data(
+            s, np.asarray(x)),
+        tree, shardings)
+
+
 def make_sharded_train_step(task, mesh: Mesh, state, example_batch,
                             tp_rnn_weights: bool | None = None):
     """jit the train step with explicit in/out shardings over ``mesh``.
@@ -200,10 +223,10 @@ def make_sharded_train_step(task, mesh: Mesh, state, example_batch,
                          in_shardings=(st_sh, b_sh),
                          out_shardings=(st_sh, None))
 
-    placed_state = jax.device_put(state, st_sh)
+    placed_state = place_global(state, st_sh)
 
     def place_batch(batch):
-        return jax.device_put(batch, batch_shardings(mesh, batch))
+        return place_global(batch, batch_shardings(mesh, batch))
 
     return train_step, placed_state, place_batch
 
@@ -231,6 +254,6 @@ def make_sharded_eval_step(task, mesh: Mesh, state, example_batch,
                         out_shardings=None)
 
     def place_batch(batch):
-        return jax.device_put(batch, batch_shardings(mesh, batch))
+        return place_global(batch, batch_shardings(mesh, batch))
 
     return eval_step, place_batch

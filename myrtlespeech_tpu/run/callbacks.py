@@ -93,21 +93,49 @@ class CallbackHandler:
 
 class ReportMeanBatchLoss(Callback):
     """Reference ``callbacks/report_mean_batch_loss.py``: running mean loss
-    per stage, reported at stage end into ``ts['reports']``."""
+    per stage, reported at stage end into ``ts['reports']``.
+
+    Each batch's (already per-example-masked) loss is weighted by its
+    real-row count — the exact corpus-level mean regardless of padded
+    remainder chunks — and in multi-process runs the (sum, weight) pair
+    is additionally summed across processes, so a 1-process and an
+    N-process run of the same config report the identical value even
+    when bucket-tail slices leave some hosts with zero real rows.  Every
+    process participates in the allgather unconditionally (a host with
+    an empty eval shard still has to join the collective, or the others
+    deadlock — found by the 2-process rehearsal).
+    """
 
     def on_stage_begin(self, ts):
-        self._sum, self._n = 0.0, 0
+        self._sum, self._n = 0.0, 0.0
 
     def on_batch_end(self, ts):
         loss = ts["metrics"].get("loss")
-        if loss is not None:
-            self._sum += float(loss)
-            self._n += 1
+        if loss is None:
+            return
+        batch = ts.get("batch") or {}
+        if "texts" in batch:
+            w = float(len(batch["texts"]))
+        elif "n_real_local" in batch:
+            w = float(batch["n_real_local"])
+        elif "n_real" in batch:
+            w = float(batch["n_real"])
+        else:
+            w = 1.0
+        self._sum += float(loss) * w
+        self._n += w
 
     def on_stage_end(self, ts):
-        mean = self._sum / max(self._n, 1)
+        import jax
+        s, n = self._sum, self._n
+        if jax.process_count() > 1:
+            import numpy as np
+            from jax.experimental import multihost_utils
+            agg = multihost_utils.process_allgather(
+                np.asarray([s, n], np.float64))
+            s, n = float(agg.sum(axis=0)[0]), float(agg.sum(axis=0)[1])
         ts.setdefault("reports", {})[
-            f"{ts['stage'].value}_mean_loss"] = mean
+            f"{ts['stage'].value}_mean_loss"] = s / max(n, 1e-12)
 
 
 class ReportDecoderWER(Callback):
@@ -146,21 +174,29 @@ class ReportDecoderWER(Callback):
             self.hyps.append(hyp)
 
     def on_stage_end(self, ts):
-        if ts["stage"] is not Stage.EVAL or not self.refs:
+        if ts["stage"] is not Stage.EVAL:
+            return
+        import jax
+        if not self.refs and jax.process_count() == 1:
             return
         from myrtlespeech_tpu.decoding.wer import cer_counts, wer_counts
         wd, wt = wer_counts(self.refs, self.hyps)
         cd, ct = cer_counts(self.refs, self.hyps)
         # Multi-host eval (BASELINE config 5): each host decoded its own
         # dataset shard; sum the sufficient statistics across processes
-        # so the reported WER/CER is the exact corpus-level rate.
-        import jax
+        # so the reported WER/CER is the exact corpus-level rate.  Every
+        # process joins the collective even with an EMPTY shard (zero
+        # counts): bucket-tail slicing can leave a host no real rows,
+        # and skipping the allgather deadlocks the rest (measured: the
+        # 2-process rehearsal hung exactly here, gloo 30 s timeout).
         if jax.process_count() > 1:
             import numpy as np
             from jax.experimental import multihost_utils
             agg = multihost_utils.process_allgather(
                 np.asarray([wd, wt, cd, ct], np.int64))
             wd, wt, cd, ct = [int(x) for x in agg.sum(axis=0)]
+            if wt == 0 and ct == 0:
+                return  # no host decoded anything this stage
         r = ts.setdefault("reports", {})
         r["wer"] = wd / max(wt, 1)
         r["cer"] = cd / max(ct, 1)
@@ -388,8 +424,16 @@ class ThroughputMonitor(Callback):
         batch = ts.get("batch")
         if batch is not None and "wav_lens" in batch:
             import numpy as np
-            self._audio_s += float(np.sum(batch["wav_lens"])) \
-                / self.sample_rate
+            lens = np.asarray(batch["wav_lens"])
+            # Count REAL rows only: bucket-remainder fill repeats the
+            # last utterance, and counting duplicates inflates the rate
+            # (the round-3/4 eval numbers overcounted by up to 1.6x on
+            # the fragmented 15-batch eval; honest accounting matters
+            # more than a bigger number).
+            n_real = batch.get("n_real_local", batch.get("n_real"))
+            if n_real is not None:
+                lens = lens[:int(n_real)]
+            self._audio_s += float(np.sum(lens)) / self.sample_rate
 
     def on_stage_end(self, ts):
         dt = time.perf_counter() - self._t0

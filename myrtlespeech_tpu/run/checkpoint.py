@@ -86,6 +86,65 @@ class CheckpointManager:
         return TrainState(**restored), cursor
 
 
+def save_params_npz(path: str, params) -> None:
+    """Flatten a params pytree into a compressed npz (bf16 via uint16).
+
+    The portable, in-repo form of trained weights: small enough to
+    commit (bf16 halves fp32; e.g. the medium RNN-T's 2.4M params are
+    ~3.8 MB), loadable with no orbax directory structure.  Keys are
+    '/'-joined tree paths; bf16 leaves are stored as a uint16 view under
+    a ``::bf16`` suffix (npz has no bfloat16 dtype).
+    """
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    out = {}
+    for p, leaf in flat:
+        key = "/".join(str(getattr(q, "key", getattr(q, "idx", q)))
+                       for q in p)
+        arr = np.asarray(leaf)
+        if arr.dtype == np.float32:
+            arr = np.asarray(jax.numpy.asarray(arr, jax.numpy.bfloat16))
+        if arr.dtype == jax.numpy.bfloat16:
+            out[key + "::bf16"] = arr.view(np.uint16)
+        else:
+            out[key] = arr
+    np.savez_compressed(path, **out)
+
+
+def load_params_npz(path: str, template_params):
+    """Load a ``save_params_npz`` file into a template params pytree.
+
+    Leaves are cast back to the template's dtypes; missing or extra keys
+    raise (topology mismatch is a config error, not a warning).
+    """
+    import jax.numpy as jnp
+
+    data = dict(np.load(path))
+    loaded = {}
+    for k, v in data.items():
+        if k.endswith("::bf16"):
+            loaded[k[:-6]] = v.view(jnp.bfloat16)
+        else:
+            loaded[k] = v
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template_params)
+    leaves = []
+    seen = set()
+    for p, leaf in flat:
+        key = "/".join(str(getattr(q, "key", getattr(q, "idx", q)))
+                       for q in p)
+        if key not in loaded:
+            raise KeyError(f"{path} missing param {key}")
+        arr = loaded[key]
+        if arr.shape != np.shape(leaf):
+            raise ValueError(f"{key}: npz shape {arr.shape} != template "
+                             f"{np.shape(leaf)}")
+        leaves.append(jnp.asarray(arr, np.asarray(leaf).dtype))
+        seen.add(key)
+    extra = set(loaded) - seen
+    if extra:
+        raise KeyError(f"{path} has unknown params: {sorted(extra)[:5]}")
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 class CheckpointCallback(Callback):
     """Save a checkpoint every N train epochs (and at train end).
 

@@ -12,11 +12,12 @@ from __future__ import annotations
 import argparse
 import json
 import math
+import os
 
-from myrtlespeech_tpu.builders.build import build_task
-from myrtlespeech_tpu.config.serde import load
-from myrtlespeech_tpu.run import callbacks as C
-from myrtlespeech_tpu.run.train import fit
+# NB: package imports happen inside main(), AFTER --platform and
+# jax.distributed.initialize — importing model/decoder modules touches
+# jnp (module-level constants), which initialises the XLA backend and
+# forecloses distributed init (observed in the 2-process rehearsal).
 
 
 def main(argv=None) -> int:
@@ -49,12 +50,36 @@ def main(argv=None) -> int:
                    help="coordinator address host:port for multi-host init")
     p.add_argument("--num_processes", type=int, default=None)
     p.add_argument("--process_id", type=int, default=None)
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. 'cpu') before backend "
+                        "init — the in-process form of JAX_PLATFORMS "
+                        "(which this sandbox's TPU plugin cannot tolerate "
+                        "as an env var); used by the multi-process CPU "
+                        "rehearsal (tools/multiproc_rehearsal.py)")
     args = p.parse_args(argv)
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    # Persistent compile cache: recipe graphs (bucketed train/eval, beam
+    # decode) take minutes to compile over this sandbox's remote-compile
+    # tunnel; cache them so reruns and eval-only sweeps measure the chip.
+    import jax as _jax
+    _jax.config.update("jax_compilation_cache_dir",
+                       os.environ.get("MYRTLE_COMPILE_CACHE",
+                                      "/tmp/myrtle_jax_cache"))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from myrtlespeech_tpu.parallel.mesh import initialize_distributed
     initialize_distributed(coordinator=args.coordinator,
                            num_processes=args.num_processes,
                            process_id=args.process_id)
+
+    from myrtlespeech_tpu.builders.build import build_task
+    from myrtlespeech_tpu.config.serde import load
+    from myrtlespeech_tpu.run import callbacks as C
+    from myrtlespeech_tpu.run.train import fit
 
     cfg = load(args.config)
     if args.mesh_model is not None:
@@ -78,7 +103,10 @@ def main(argv=None) -> int:
         mgr = CheckpointManager(args.checkpoint_dir)
         if not args.eval_only:
             cbs.append(CheckpointCallback(mgr))
-        if args.resume and mgr.latest_step() is not None:
+        # --eval_only implies restoring the checkpoint (evaluating random
+        # weights is never what an eval sweep means); --resume restores
+        # the full cursor for training.
+        if (args.resume or args.eval_only) and mgr.latest_step() is not None:
             initial_state, start_epoch, skip_batches = _restore_state(
                 task, mgr)
             print(f"resumed from step {int(initial_state.step)} "
