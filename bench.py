@@ -145,30 +145,20 @@ def main() -> None:
         "audio_s_per_utt": seconds_per_utt,
     }
 
-    # Tunnel-independent device time (VERDICT r4 weak #1): capture ONE
-    # profiler trace of one compiled n-step dispatch and sum the device
+    # Tunnel-independent device time (VERDICT r4 weak #1): profiler
+    # traces of the compiled n-step dispatch, summing the device
     # "XLA Ops" lane — the same accounting as the committed per-kernel
     # tables (myrtlespeech_tpu/utils/trace.py), so cross-round deltas in
-    # this field are attributable regardless of tunnel weather.  Expected
-    # residue vs ``ms_per_step`` wall: dispatch + host fetch over the
-    # sandbox tunnel, amortised to <4 ms/step at 50 steps/dispatch.
+    # this field are attributable regardless of tunnel weather.  Two
+    # captures, min taken: this sandbox's chip TIME-SHARES across
+    # processes, and a contended window dilates op durations (observed:
+    # 53.7 vs 32 ms/step during a busy stretch) — contention only ever
+    # ADDS time, like the tunnel.  Expected residue vs ``ms_per_step``
+    # wall: dispatch + host fetch, <4 ms/step at 50 steps/dispatch.
     if os.environ.get("MYRTLE_BENCH_DEVICE_TIME", "1") != "0":
         try:
-            import shutil
-            import tempfile
-
-            from myrtlespeech_tpu.utils.trace import device_ms
-
-            logdir = tempfile.mkdtemp(prefix="myrtle_bench_trace_")
-            with jax.profiler.trace(logdir):
-                state, loss = run_n(state, batch)
-                _ = float(loss)
-            dev = device_ms(logdir)
-            if dev is not None:
-                out["ms_per_step_device"] = round(dev / n_steps, 2)
-                out["audio_sec_per_sec_device"] = round(
-                    audio_sec / (dev * 1e-3), 2)
-            shutil.rmtree(logdir, ignore_errors=True)
+            out.update(_device_time_fields(jax, run_n, state, batch,
+                                           n_steps, audio_sec))
         except Exception as e:  # never lose the bench line to the profiler
             out["device_time_error"] = f"{type(e).__name__}: {e}"
 
@@ -197,6 +187,30 @@ def main() -> None:
         except Exception as e:
             out["decode_trained_error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(out))
+
+
+def _device_time_fields(jax, run_n, state, batch, n_steps, audio_sec,
+                        captures: int = 2):
+    """min-of-N profiler captures of the device "XLA Ops" lane."""
+    import shutil
+    import tempfile
+
+    from myrtlespeech_tpu.utils.trace import device_ms
+
+    best = None
+    for _ in range(captures):
+        logdir = tempfile.mkdtemp(prefix="myrtle_bench_trace_")
+        with jax.profiler.trace(logdir):
+            state, loss = run_n(state, batch)
+            _ = float(loss)
+        dev = device_ms(logdir)
+        shutil.rmtree(logdir, ignore_errors=True)
+        if dev is not None and (best is None or dev < best):
+            best = dev
+    if best is None:
+        return {}
+    return {"ms_per_step_device": round(best / n_steps, 2),
+            "audio_sec_per_sec_device": round(audio_sec / (best * 1e-3), 2)}
 
 
 def _train_at_shape(task, B, seconds, label_len, n_steps, reps):
@@ -242,19 +256,9 @@ def _train_at_shape(task, B, seconds, label_len, n_steps, reps):
     }
     if os.environ.get("MYRTLE_BENCH_DEVICE_TIME", "1") != "0":
         try:
-            import shutil
-            import tempfile
-
-            from myrtlespeech_tpu.utils.trace import device_ms
-
-            logdir = tempfile.mkdtemp(prefix="myrtle_bench_trace_")
-            with jax.profiler.trace(logdir):
-                state, loss = run_n(state, batch)
-                _ = float(loss)
-            dev = device_ms(logdir)
-            if dev is not None:
-                res["ms_per_step_device"] = round(dev / steps, 2)
-            shutil.rmtree(logdir, ignore_errors=True)
+            res.update({k: v for k, v in _device_time_fields(
+                jax, run_n, state, batch, steps, audio_sec).items()
+                if k == "ms_per_step_device"})
         except Exception:
             pass
     return res

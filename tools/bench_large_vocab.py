@@ -198,7 +198,9 @@ def part_wordlm(n_words: int, out):
         L = int(rng.integers(3, 11))
         vocab.add("".join(rng.choice(list(letters), L)))
     vocab = sorted(vocab)
-    # Zipf-ish corpus with bigram structure: consecutive draws correlated.
+    # Zipf-ish draws PLUS one guaranteed appearance per word, so the
+    # table genuinely stores the full vocabulary (load-factor stress);
+    # Zipf alone covers only ~1/3 of a 12k vocab in a finite corpus.
     probs = 1.0 / np.arange(1, len(vocab) + 1) ** 1.1
     probs /= probs.sum()
     sents = []
@@ -206,8 +208,13 @@ def part_wordlm(n_words: int, out):
         n = int(rng.integers(3, 12))
         idx = rng.choice(len(vocab), n, p=probs)
         sents.append(" ".join(vocab[i] for i in idx))
+    shuf = list(vocab)
+    rng.shuffle(shuf)
+    for k in range(0, len(shuf), 8):
+        sents.append(" ".join(shuf[k:k + 8]))
+    seen = set(w for s in sents for w in s.split())
     t0 = time.perf_counter()
-    lm = estimate_word_lm(sents, alphabet, bigram=True)
+    lm = estimate_word_lm(sents, alphabet, order=2)
     build_s = time.perf_counter() - t0
 
     S_uni = lm.key1.shape[0]
@@ -215,10 +222,11 @@ def part_wordlm(n_words: int, out):
     S_bi = lm.bkey1.shape[0] if lm.bkey1 is not None else 0
     used_bi = int(np.sum((lm.bkey1 != 0) | (lm.bkey2 != 0))) if S_bi else 0
 
-    # Probe-depth histogram: how many probes each stored word needs.
+    # Probe-depth histogram: how many probes each STORED word needs
+    # (the build only stores corpus-seen words, by design).
     depth = np.zeros(WORD_LM_PROBES + 1, np.int64)
     misplaced = 0
-    for w in vocab:
+    for w in sorted(seen):
         h1, h2 = word_hashes(alphabet.get_indices(w))
         if h1 == 0 and h2 == 0:
             h1 = np.uint32(1)
@@ -232,7 +240,7 @@ def part_wordlm(n_words: int, out):
         else:
             misplaced += 1
     stats = {
-        "part": "wordlm", "n_vocab": len(vocab),
+        "part": "wordlm", "n_vocab": len(vocab), "n_stored": len(seen),
         "build_s": round(build_s, 2),
         "uni_slots": S_uni, "uni_load": round(used / S_uni, 3),
         "bi_slots": S_bi,

@@ -115,26 +115,63 @@ def _profile_features(jax, jnp, task, batch, args):
     key = jax.random.PRNGKey(1)
     wav, lens = batch["wav"], batch["wav_lens"]
 
-    @jax.jit
-    def run_n(wav, lens):
-        def one(_, w):
-            f, fl = task.preprocess(key, w[0], lens, True)
-            # Thread the output back into the next input (cheap add on
-            # the first samples) so XLA cannot hoist the chain.
-            upd = jnp.sum(f[:, 0, :], axis=-1) * 1e-9
-            return (w[0].at[:, 0].add(upd.astype(w[0].dtype)), w[1] + fl)
-        w, acc = jax.lax.fori_loop(0, n, one, (wav, jnp.zeros_like(lens)))
-        return acc
-    _ = np.asarray(run_n(wav, lens))  # compile + warm
+    def make_run_n(train):
+        @jax.jit
+        def run_n(wav, lens):
+            def one(_, carry):
+                w, acc = carry
+                f, _fl = task.preprocess(key, w, lens, train)
+                # Thread the FEATURES back into both the next input and
+                # the returned accumulator: without the dependency on
+                # the returned value, XLA dead-codes the whole chain
+                # (first cut measured 0.000 ms/call); without the input
+                # dependency it hoists the loop-invariant call (see
+                # bench.py).
+                upd = jnp.sum(f[:, 0, :], axis=-1) * 1e-9
+                return (w.at[:, 0].add(upd.astype(w.dtype)),
+                        acc + jnp.sum(upd))
+            _, acc = jax.lax.fori_loop(
+                0, n, one, (wav, jnp.zeros((), jnp.float32)))
+            return acc
+        return run_n
 
-    logdir = tempfile.mkdtemp(prefix="myrtle_feat_trace_")
-    with jax.profiler.trace(logdir):
-        _ = np.asarray(run_n(wav, lens))
-    rows = _aggregate_trace(logdir)
-    shutil.rmtree(logdir, ignore_errors=True)
+    def capture(run_n, reps=2):
+        """min-of-reps device-lane capture (chip time-shares; see
+        bench.py's device-time note)."""
+        _ = np.asarray(run_n(wav, lens))  # compile + warm
+        best_rows, best = None, None
+        for _ in range(reps):
+            logdir = tempfile.mkdtemp(prefix="myrtle_feat_trace_")
+            with jax.profiler.trace(logdir):
+                _ = np.asarray(run_n(wav, lens))
+            rows = _aggregate_trace(logdir)
+            shutil.rmtree(logdir, ignore_errors=True)
+            if rows:
+                tot = sum(r[2] for r in rows)
+                if best is None or tot < best:
+                    best, best_rows = tot, rows
+        return best_rows
+
+    def chain_ms(rows):
+        """Sum op durations EXCLUDING the fori_loop wrapper's while
+        span: the outer while event covers its whole body, whose ops
+        also appear on the lane — summing both double-counts the chain
+        (found round 5: the 'while.8' top op was the harness itself).
+        Detected as any while whose span >= 45% of the capture."""
+        total = sum(r[2] for r in rows)
+        wrappers = [r[2] for r in rows
+                    if r[0].lower().startswith("while")
+                    and r[2] >= 0.45 * total]
+        return (total - sum(wrappers)) / 1e3
+
+    eval_rows = capture(make_run_n(False))
+    rows = capture(make_run_n(True))
     if not rows:
         print("no device trace produced")
         return
+    if eval_rows:
+        print(f"eval-mode chain (no SpecAugment): "
+              f"{chain_ms(eval_rows) / n:.3f} ms/call")
 
     B, S = wav.shape
     n_fft, hop, n_mels = 512, 160, 80  # rnn_t_en MFCCConfig defaults
@@ -146,8 +183,7 @@ def _profile_features(jax, jnp, task, batch, args):
     bytes_per = 4 * B * (S + 2 * T * n_fft + 3 * T * K + 5 * T * n_mels)
     # MXU floor: two (T, n_fft) x (n_fft, K) DFT matmuls + mel matmul.
     flops_per = 2 * B * T * (2 * n_fft * K + K * n_mels)
-    total_ms = sum(r[2] for r in rows) / 1e3
-    ms = total_ms / n
+    ms = chain_ms(rows) / n
     hbm_ms = bytes_per / (V5E_HBM_GBPS * 1e9) * 1e3
     mxu_fp32 = V5E_BF16_TFLOPS / 2  # fp32 matmuls run at half bf16 peak
     mxu_ms = flops_per / (mxu_fp32 * 1e12) * 1e3
