@@ -179,16 +179,23 @@ def _select_joint_path(task, f, g, backward: bool):
         # the chunked path) and, like the fused LSTM, is opaque to
         # GSPMD — skip it under TP meshes (see PALLAS_TP_GUARD).
         #
-        # Scoped-VMEM bound: the kernel's (Tp, Bp*U1p, 1) fp32 row-column
-        # outputs are stack-scoped by Mosaic; past ~16 MB the compiler
-        # refuses (measured: T'=752, U+1=193 at B=32 asks for 25.1 MB —
-        # the 15 s production-length shape).  Long shapes take the
-        # T-chunked fused path instead, which is the planner's fallback
-        # for exactly this memory regime.
+        # Scoped-VMEM bound: the kernel's row-column outputs and
+        # VMEM-resident logit tiles are stack-scoped by Mosaic; past
+        # ~16 MB the compiler refuses.  Measured refusals: T'=752,
+        # U+1=193, V=29 at B=32 (25.1 MB — the 15 s production-length
+        # shape) and T=256, U+1=65, V=1024 at B=32 (34.5 MB — the
+        # wordpiece-scale vocab).  The estimate scales with both the
+        # lattice area and the padded-vocab lane multiple; shapes over
+        # the bound take the T-chunked fused path instead — the
+        # planner's fallback for exactly this memory regime.  The
+        # kernel's niche is therefore small-V, mid-length shapes (its
+        # design point: V=29 chars, where it never materialises the
+        # (B,T,U,V) tensors in HBM).
         Tp = -(-T // 8) * 8
         Bp = -(-B // 8) * 8
         U1pad = -(-U1 // 8) * 8
-        vmem_est = 4 * Tp * Bp * U1pad
+        v_lanes = max(1, -(-vocab // 128))
+        vmem_est = 4 * Tp * Bp * U1pad * v_lanes
         if (not (backward and jc.dropout > 0)
                 and PALLAS_TP_GUARD["model_size"] == 1
                 and vmem_est <= 12_000_000):
