@@ -207,6 +207,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=32)
     p.add_argument("--seconds", type=float, default=5.0)
+    p.add_argument("--label_len", type=int, default=64,
+                   help="labels per utterance (the 15 s production shape "
+                        "uses 192, matching bench.py's long measurement)")
     p.add_argument("--steps", type=int, default=3)
     p.add_argument("--components", action="store_true")
     p.add_argument("--features", action="store_true",
@@ -260,7 +263,7 @@ def main():
     task = build_task(cfg, steps_per_epoch=100)
     B = args.batch
     samples = int(16000 * args.seconds)
-    batch = _example_batch(B, samples=samples, label_len=64)
+    batch = _example_batch(B, samples=samples, label_len=args.label_len)
     batch["labels"] = np.clip(batch["labels"], 1, 27)
     import jax.numpy as jnp
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
