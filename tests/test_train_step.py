@@ -178,3 +178,56 @@ def test_n_real_masks_duplicated_pad_rows():
     pc = jax.tree_util.tree_leaves(s_c.params)
     for a, c in zip(pa, pc):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-5)
+
+
+def test_params_npz_roundtrip(tmp_path):
+    """save_params_npz/load_params_npz: bf16 leaves survive bit-exact,
+    topology mismatches raise (the bundled-trained-weights path that
+    bench.py's decode_beam_trained loads)."""
+    import jax
+    import jax.numpy as jnp
+
+    from myrtlespeech_tpu.run.checkpoint import (load_params_npz,
+                                                 save_params_npz)
+
+    params = {
+        "dense": {"kernel": jnp.arange(12, dtype=jnp.float32).reshape(3, 4),
+                  "bias": jnp.ones((4,), jnp.bfloat16)},
+        "step": jnp.asarray(7, jnp.int32),
+    }
+    path = str(tmp_path / "p.npz")
+    save_params_npz(path, params)
+    back = load_params_npz(path, params)
+    # fp32 leaves round-trip through bf16 (lossy but deterministic).
+    kb = jnp.asarray(params["dense"]["kernel"], jnp.bfloat16)
+    assert jnp.array_equal(back["dense"]["kernel"],
+                           kb.astype(jnp.float32))
+    assert jnp.array_equal(back["dense"]["bias"], params["dense"]["bias"])
+    assert int(back["step"]) == 7
+    import pytest as _pytest
+    bad = {"dense": {"kernel": params["dense"]["kernel"]}}
+    with _pytest.raises(KeyError):
+        load_params_npz(path, bad)  # extra stored keys must raise
+
+
+def test_eval_ignores_forced_fusion_when_planner_allows():
+    """_select_joint_path: config-forced chunked fusion is a TRAINING
+    knob; at eval (backward=False) the planner decides (round-5 eval
+    rework — the forced fusion was 52% of the eval wall)."""
+    from myrtlespeech_tpu.builders.build import build_task
+    from myrtlespeech_tpu.config import schema as S
+    from myrtlespeech_tpu.run.train import _select_joint_path
+    import jax.numpy as jnp
+
+    from configs.synthetic_hard_rnnt import task_config
+    task = build_task(task_config, steps_per_epoch=4)
+    assert task.fused_loss is not None  # recipe forces fused_chunk_size
+    f = jnp.zeros((4, 16, 512), jnp.bfloat16)
+    g = jnp.zeros((4, 9, 128), jnp.bfloat16)
+    fused_t, _ = _select_joint_path(task, f, g, backward=True)
+    assert fused_t is task.fused_loss
+    fused_e, chunk_e = _select_joint_path(task, f, g, backward=False)
+    # On the CPU test backend the HBM planner has no limit -> full joint
+    # (None); on devices it may still pick a planner chunk — either way
+    # the config-forced callable must NOT be the eval choice here.
+    assert fused_e is not task.fused_loss or chunk_e is not None
