@@ -58,39 +58,66 @@ def aggregate_trace(logdir: str) -> Optional[List[Row]]:
                     e["args"].get("name") == "XLA Ops":
                 op_lanes.add((e["pid"], e["tid"]))
         lanes = {pt for pt in op_lanes if pt[0] in device_pids}
+        per_lane = {}
         for e in events:
             if e.get("ph") != "X" or "dur" not in e:
                 continue
-            if (e.get("pid"), e.get("tid")) not in lanes:
+            key = (e.get("pid"), e.get("tid"))
+            if key not in lanes:
                 continue
-            a = e.get("args", {})
-            rows.append((e["name"], a.get("hlo_category", "?"), e["dur"],
-                         int(a.get("model_flops", 0) or 0),
-                         int(a.get("raw_bytes_accessed", 0) or 0)))
+            per_lane.setdefault(key, []).append(e)
+        for evs in per_lane.values():
+            rows.extend(_self_time_rows(evs))
     return rows or None
+
+
+def _self_time_rows(events) -> List[Row]:
+    """Convert one lane's span events into SELF-time rows.
+
+    Container spans (``while``/``fusion`` wrappers around lax scan
+    bodies, the profiling harness's own fori_loop) cover their children,
+    which ALSO appear on the lane — summing raw durations double-counts
+    every nested region (found round 5: the 15 s per-kernel table read
+    201 ms/step against a 169 ms quiet wall because the chunked-joint
+    scan's body ops were counted inside AND beside their while span).
+    Self time = span duration minus the duration of immediate children,
+    computed with a nesting sweep over start-sorted events.
+    """
+    evs = sorted(events, key=lambda e: (e["ts"], -e["dur"]))
+    out: List[Row] = []
+    stack = []  # [end_ts, self_us, event]
+    def emit(frame):
+        e = frame[2]
+        a = e.get("args", {})
+        out.append((e["name"], a.get("hlo_category", "?"),
+                    max(frame[1], 0.0),
+                    int(a.get("model_flops", 0) or 0),
+                    int(a.get("raw_bytes_accessed", 0) or 0)))
+    for e in evs:
+        ts, dur = e["ts"], e["dur"]
+        while stack and stack[-1][0] <= ts + 1e-9:
+            emit(stack.pop())
+        if stack:  # nested: subtract from the parent's self time
+            stack[-1][1] -= dur
+        stack.append([ts + dur, float(dur), e])
+    while stack:
+        emit(stack.pop())
+    return out
 
 
 def device_ms(logdir: str) -> Optional[float]:
     """Total device-op milliseconds in the newest capture under logdir.
 
-    Sum of op durations on the device "XLA Ops" lane — the same
-    accounting the committed per-kernel tables use, so ``bench.py``'s
-    ``ms_per_step_device`` and ``tools/profile_kernels.py`` agree by
-    construction — EXCLUDING wrapper ``while`` spans: a capture of an
-    N-step ``fori_loop`` has one outer while event covering the whole
-    program whose body ops also appear on the lane, so the naive sum
-    double-counts (found round 5: a features capture reported ~2x its
-    leaf-op time).  A while is treated as a wrapper when its single
-    span covers >= 45% of the capture's op time — inner lax scans
-    (LSTM time loops, beam frames) stay far below that individually.
-    Inter-op gaps are not counted; the residue vs wall is tunnel
-    dispatch, not device idle (see docs/performance.md).
+    Sum of SELF-time op durations on the device "XLA Ops" lane (see
+    ``_self_time_rows`` — container spans contribute only their own
+    loop/control overhead, so nothing is double-counted and no wrapper
+    heuristics are needed).  The same accounting backs the per-kernel
+    tables, so ``bench.py``'s ``ms_per_step_device`` and
+    ``tools/profile_kernels.py`` agree by construction.  Inter-op gaps
+    are not counted; the residue vs wall is tunnel dispatch, not device
+    idle (see docs/performance.md).
     """
     rows = aggregate_trace(logdir)
     if not rows:
         return None
-    total = sum(r[2] for r in rows)
-    wrappers = sum(r[2] for r in rows
-                   if r[0].lower().startswith("while")
-                   and r[2] >= 0.45 * total)
-    return (total - wrappers) / 1e3
+    return sum(r[2] for r in rows) / 1e3
