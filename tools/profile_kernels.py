@@ -153,16 +153,10 @@ def _profile_features(jax, jnp, task, batch, args):
         return best_rows
 
     def chain_ms(rows):
-        """Sum op durations EXCLUDING the fori_loop wrapper's while
-        span: the outer while event covers its whole body, whose ops
-        also appear on the lane — summing both double-counts the chain
-        (found round 5: the 'while.8' top op was the harness itself).
-        Detected as any while whose span >= 45% of the capture."""
-        total = sum(r[2] for r in rows)
-        wrappers = [r[2] for r in rows
-                    if r[0].lower().startswith("while")
-                    and r[2] >= 0.45 * total]
-        return (total - sum(wrappers)) / 1e3
+        """Total device ms (rows are already SELF-times — container
+        spans like the harness fori_loop contribute only loop control;
+        see utils/trace.py::_self_time_rows)."""
+        return sum(r[2] for r in rows) / 1e3
 
     eval_rows = capture(make_run_n(False))
     rows = capture(make_run_n(True))
